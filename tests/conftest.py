@@ -1,0 +1,43 @@
+"""Test harness: force JAX onto 8 virtual CPU devices.
+
+Must run before any jax import — pytest loads conftest first, so setting
+the env here covers every test module.  Multi-chip sharding tests use
+the 8-device mesh; real-TPU behavior is exercised by bench.py and the
+driver's dryrun, not the unit suite.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon from within python startup,
+# so the env var alone is not enough — override via jax.config as well.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from zs3_tpu.core.mesh import make_mesh
+
+    return make_mesh((("data", 8),))
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

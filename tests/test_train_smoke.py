@@ -1,0 +1,69 @@
+"""End-to-end smoke: SeenTrainer on synthetic data, tiny shapes, CPU.
+
+This is BASELINE.json config 1's "CPU-runnable" guarantee: the full
+train->validate->checkpoint loop must run without TPUs or datasets.
+"""
+
+import numpy as np
+import pytest
+
+from zs3_tpu.core.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from zs3_tpu.train.seen import SeenTrainer
+
+
+@pytest.fixture()
+def tiny_cfg(tmp_path):
+    return Config(
+        model=ModelConfig(
+            backbone="resnet50",
+            num_classes=4,
+            compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(
+            dataset="synthetic",
+            crop_size=65,
+            base_size=65,
+            batch_size=8,
+            eval_batch_size=8,
+        ),
+        optim=OptimConfig(lr=0.01),
+        train=TrainConfig(
+            epochs=1,
+            steps_per_epoch=2,
+            checkpoint_dir=str(tmp_path / "run"),
+            keep_checkpoints=1,
+        ),
+    )
+
+
+def test_seen_trainer_end_to_end(tiny_cfg):
+    trainer = SeenTrainer(tiny_cfg)
+    stats = trainer.train_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    report = trainer.validate(0)
+    assert 0.0 <= report["miou"] <= 1.0
+    assert int(trainer.state.step) == 2
+
+
+def test_loss_decreases_over_steps(tiny_cfg):
+    cfg = tiny_cfg.replace(
+        train=tiny_cfg.train.__class__(
+            epochs=4,
+            steps_per_epoch=4,
+            checkpoint_dir=tiny_cfg.train.checkpoint_dir,
+            eval_interval=100,  # skip validation
+            keep_checkpoints=1,
+        )
+    )
+    trainer = SeenTrainer(cfg)
+    first = trainer.train_epoch(0)["train_loss"]
+    for e in range(1, 4):
+        last = trainer.train_epoch(e)["train_loss"]
+    assert last < first, f"loss did not decrease: {first} -> {last}"

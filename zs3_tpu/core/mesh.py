@@ -1,0 +1,69 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-process torch DataParallel plus
+a thread-queue SyncBN (reference: zs3/modeling/sync_batchnorm/comm.py
+SyncMaster/SlavePipe).  The TPU-native equivalent is a ``jax.sharding.Mesh``
+with NamedSharding: batches are sharded over the ``data`` axis, parameters
+are replicated, and XLA inserts the gradient all-reduce / BN-stat pmean as
+ICI collectives.  The mesh spec is open-ended so a later ``space`` axis
+(spatial sharding of the HxW grid) or a 2-level (ici, dcn) layout slots in
+without touching call sites.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axes: Sequence[Tuple[str, int]] = (("data", -1),),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh from (axis_name, size) pairs; size -1 absorbs the rest."""
+    devices = list(devices if devices is not None else jax.devices())
+    names = [name for name, _ in axes]
+    sizes = [size for _, size in axes]
+    n_wild = sum(1 for s in sizes if s == -1)
+    if n_wild > 1:
+        raise ValueError("at most one mesh axis may have size -1")
+    fixed = math.prod(s for s in sizes if s != -1)
+    if n_wild:
+        if len(devices) % fixed:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by fixed axes product {fixed}"
+            )
+        sizes = [len(devices) // fixed if s == -1 else s for s in sizes]
+    total = math.prod(sizes)
+    if total > len(devices):
+        raise ValueError(f"mesh wants {total} devices, have {len(devices)}")
+    grid = np.array(devices[:total]).reshape(sizes)
+    return Mesh(grid, axis_names=tuple(names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over a mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of host arrays with the batch dim sharded over `axis`."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,174 @@
+"""Batch loading: dataset -> transformed, collated numpy batches.
+
+Functional parity target: reference zs3/dataloaders/__init__.py
+(make_data_loader(args) -> (train, val, test, num_classes)) on top of
+torch DataLoader.  Rebuilt without torch: a thread-pool maps the host
+transforms over shuffled indices, batches are collated into pinned
+numpy arrays, and a small prefetch queue overlaps host decode with
+device compute.  Epoch order is a pure function of (seed, epoch), so
+resume reproduces the exact stream.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from zs3_tpu.core.config import DataConfig
+from zs3_tpu.data import transforms as T
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Deterministic shuffling, threaded transform, prefetching iterator."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        transform: Optional[Callable] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        transform_needs_rng: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.transform_needs_rng = transform_needs_rng
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _load_one(self, idx: int) -> Dict[str, np.ndarray]:
+        sample = self.dataset[int(idx)]
+        sample = {k: v for k, v in sample.items() if k != "name"}
+        if self.transform is not None:
+            if self.transform_needs_rng:
+                rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+                sample = self.transform(sample, rng)
+            else:
+                sample = self.transform(sample)
+        return sample
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    samples = list(pool.map(self._load_one, chunk))
+                    q.put(collate(samples))
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+
+
+def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
+    """(train_loader, val_loader, num_classes) for cfg.dataset.
+
+    Mirrors the reference factory contract.  'synthetic' serves tests and
+    dataset-free smoke runs.
+    """
+    unseen = cfg.unseen_classes
+
+    if cfg.dataset == "pascal":
+        from zs3_tpu.data.voc import VOCSegmentation
+
+        train_ds: Any = VOCSegmentation(
+            cfg.root, "train", unseen, weak_label_dir=cfg.weak_label_dir
+        )
+        val_ds: Any = VOCSegmentation(cfg.root, "val", unseen, filter_unseen=False)
+        if cfg.use_sbd:
+            from zs3_tpu.data.sbd import CombineDBs, SBDSegmentation
+
+            sbd = SBDSegmentation(cfg.root, "train", unseen)
+            train_ds = CombineDBs([train_ds, sbd], exclude_names=val_ds.names)
+        num_classes = VOCSegmentation.NUM_CLASSES
+    elif cfg.dataset == "context":
+        from zs3_tpu.data.context import ContextSegmentation
+
+        train_ds = ContextSegmentation(
+            cfg.root, "train", unseen, weak_label_dir=cfg.weak_label_dir
+        )
+        val_ds = ContextSegmentation(cfg.root, "val", unseen, filter_unseen=False)
+        num_classes = ContextSegmentation.NUM_CLASSES
+    elif cfg.dataset == "synthetic":
+        from zs3_tpu.data.synthetic import SyntheticSegmentation
+
+        size = (cfg.crop_size, cfg.crop_size)
+        train_ds = SyntheticSegmentation(64, size, seed=1)
+        val_ds = SyntheticSegmentation(16, size, seed=2)
+        num_classes = train_ds.NUM_CLASSES
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+    train_tf = lambda s, rng: T.train_transform(
+        s, rng, cfg.base_size, cfg.crop_size, cfg.ignore_index
+    )
+    val_tf = lambda s: T.eval_transform(s, cfg.crop_size)
+
+    train_loader = DataLoader(
+        train_ds,
+        cfg.batch_size,
+        transform=train_tf,
+        shuffle=True,
+        drop_last=True,
+        seed=cfg.shuffle_seed,
+        num_workers=cfg.num_workers,
+    )
+    val_loader = DataLoader(
+        val_ds,
+        cfg.eval_batch_size,
+        transform=val_tf,
+        shuffle=False,
+        drop_last=False,
+        seed=cfg.shuffle_seed,
+        num_workers=cfg.num_workers,
+        transform_needs_rng=False,
+    )
+    return train_loader, val_loader, num_classes

@@ -1,0 +1,95 @@
+"""Segmentation losses.
+
+Functional parity target: reference zs3/utils/loss.py (class
+SegmentationLosses, build_loss('ce'|'focal')) — cross-entropy and focal
+loss with ignore_index=255 and optional per-class balance weights
+(reference: zs3/utils/calculate_weights.py calculate_weigths_labels).
+
+Losses are pure functions of (logits NHWC-classes, labels NHW int);
+masking replaces torch's ignore_index plumbing and stays jit-safe.
+The mean is over valid pixels (torch 'mean' reduction semantics with
+ignore_index).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _valid_mask(labels: jax.Array, num_classes: int, ignore_index: int) -> jax.Array:
+    return (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
+
+
+def cross_entropy_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_index: int = 255,
+    class_weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean CE over non-ignored pixels. logits (..., C), labels (...)."""
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(labels, num_classes, ignore_index)
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    if class_weights is not None:
+        # torch NLLLoss(weight=...) normalizes by the sum of weights.
+        w = w * class_weights[safe_labels]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def focal_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_index: int = 255,
+    gamma: float = 2.0,
+    alpha: float = 0.5,
+    class_weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Focal loss, matching the reference formulation:
+    FL = alpha * (1 - exp(-CE))^gamma * CE, per valid pixel.
+    """
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(labels, num_classes, ignore_index)
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(-nll)
+    fl = alpha * (1.0 - pt) ** gamma * nll
+    w = valid.astype(jnp.float32)
+    if class_weights is not None:
+        w = w * class_weights[safe_labels]
+    return jnp.sum(fl * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def build_seg_loss(
+    mode: str = "ce",
+    ignore_index: int = 255,
+    class_weights: Optional[jax.Array] = None,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    if mode == "ce":
+        return lambda logits, labels: cross_entropy_loss(
+            logits, labels, ignore_index, class_weights
+        )
+    if mode == "focal":
+        return lambda logits, labels: focal_loss(
+            logits, labels, ignore_index, class_weights=class_weights
+        )
+    raise ValueError(f"unknown loss mode {mode!r}")
+
+
+def calculate_class_weights(
+    histogram: jax.Array, smooth: float = 1.02
+) -> jax.Array:
+    """Median-free balanced weights: 1 / ln(smooth + freq).
+
+    Mirrors reference calculate_weigths_labels: normalize the label
+    histogram to frequencies and weight each class 1/ln(1.02 + f_c).
+    """
+    hist = histogram.astype(jnp.float32)
+    freq = hist / jnp.maximum(jnp.sum(hist), 1.0)
+    return 1.0 / jnp.log(smooth + freq)
