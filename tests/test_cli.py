@@ -1,0 +1,68 @@
+"""CLI: config resolution, show-config, end-to-end synthetic run."""
+
+import json
+
+import pytest
+
+from zs3_tpu.cli import build_config, main
+from zs3_tpu.core.config import Config, voc_unseen_split
+
+
+def _parse(argv):
+    import argparse
+
+    from zs3_tpu.cli import _add_common
+
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="command")
+    for name in ("train-seen", "show-config"):
+        _add_common(sub.add_parser(name))
+    return parser.parse_args(argv)
+
+
+def test_flag_overrides():
+    args = _parse(
+        ["train-seen", "--dataset", "pascal", "--unseen-split", "4",
+         "--lr", "0.123", "--backbone", "resnet50", "--epochs", "3"]
+    )
+    cfg = build_config(args)
+    assert cfg.data.unseen_classes == voc_unseen_split(4)
+    assert cfg.optim.lr == 0.123
+    assert cfg.model.backbone == "resnet50"
+    assert cfg.train.epochs == 3
+    # untouched fields keep defaults
+    assert cfg.optim.momentum == Config().optim.momentum
+
+
+def test_config_file_then_flags(tmp_path):
+    cfg0 = Config()
+    import dataclasses
+
+    cfg0 = dataclasses.replace(
+        cfg0, optim=dataclasses.replace(cfg0.optim, lr=0.5, momentum=0.8)
+    )
+    path = tmp_path / "c.json"
+    path.write_text(cfg0.to_json())
+    args = _parse(["train-seen", "--config", str(path), "--lr", "0.9"])
+    cfg = build_config(args)
+    assert cfg.optim.lr == 0.9  # flag wins
+    assert cfg.optim.momentum == 0.8  # file wins over default
+
+
+def test_show_config(capsys):
+    assert main(["show-config"]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out)["model"]["backbone"] == "resnet101"
+
+
+def test_cli_train_end_to_end(tmp_path, capsys):
+    rc = main(
+        ["train-seen", "--dataset", "synthetic", "--crop-size", "65",
+         "--base-size", "65", "--batch-size", "8", "--epochs", "1",
+         "--steps-per-epoch", "2", "--backbone", "resnet50",
+         "--compute-dtype", "float32",
+         "--checkpoint-dir", str(tmp_path / "run")]
+    )
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "train_loss" in result and "miou" in result

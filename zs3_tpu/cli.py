@@ -1,0 +1,178 @@
+"""Single typed CLI mirroring the reference's train/validate entrypoints.
+
+Functional parity target: the reference's per-script argparse mains
+(reference: train_pascal.py, train_pascal_GMMN.py, train_context.py,
+train_context_GMMN.py, each ~40 flags, heavily copy-pasted).  Here one
+entrypoint with subcommands covers all of them:
+
+    python -m zs3_tpu.cli train-seen  --dataset pascal --unseen-split 2 ...
+    python -m zs3_tpu.cli train-gmmn  --dataset pascal --unseen-split 2 --resume CKPT
+    python -m zs3_tpu.cli train-zs5   --dataset context --unseen-split 10 ...
+    python -m zs3_tpu.cli evaluate    --dataset pascal --resume CKPT
+    python -m zs3_tpu.cli show-config            # dump the default config
+
+Flags override a JSON config (--config) which overrides defaults; the
+resolved config is written into the experiment directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+from zs3_tpu.core.config import (
+    Config,
+    DataConfig,
+    GMMNConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+    context_unseen_split,
+    voc_unseen_split,
+)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", type=str, default=None, help="JSON config file")
+    p.add_argument("--dataset", choices=["pascal", "context", "synthetic"])
+    p.add_argument("--data-root", type=str)
+    p.add_argument("--use-sbd", action="store_true", default=None)
+    p.add_argument("--backbone",
+                   choices=["resnet101", "resnet50", "xception", "mobilenet", "drn"])
+    p.add_argument("--out-stride", type=int, choices=[8, 16])
+    p.add_argument("--base-size", type=int)
+    p.add_argument("--crop-size", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--steps-per-epoch", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--lr-scheduler", choices=["poly", "step", "cos", "const"])
+    p.add_argument("--nesterov", action="store_true", default=None)
+    p.add_argument("--loss-type", choices=["ce", "focal"])
+    p.add_argument("--seed", type=int)
+    p.add_argument("--resume", type=str)
+    p.add_argument("--checkname", type=str)
+    p.add_argument("--checkpoint-dir", type=str)
+    p.add_argument("--eval-interval", type=int)
+    p.add_argument("--no-val", action="store_true", default=None)
+    p.add_argument("--unseen-split", type=int, choices=[0, 2, 4, 6, 8, 10],
+                   help="number of unseen classes (paper protocol)")
+    p.add_argument("--embedding-path", type=str)
+    p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--graph-context", action="store_true", default=None)
+    p.add_argument("--pixels-per-class", type=int)
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    cfg = Config()
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+
+    def upd(node, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(node, **kw) if kw else node
+
+    unseen: Optional[tuple] = None
+    if args.unseen_split is not None:
+        if args.unseen_split == 0:
+            unseen = ()
+        else:
+            dataset = args.dataset or cfg.data.dataset
+            unseen = (
+                context_unseen_split(args.unseen_split)
+                if dataset == "context"
+                else voc_unseen_split(args.unseen_split)
+            )
+
+    cfg = dataclasses.replace(
+        cfg,
+        model=upd(
+            cfg.model,
+            backbone=args.backbone,
+            output_stride=args.out_stride,
+            compute_dtype=args.compute_dtype,
+        ),
+        gmmn=upd(
+            cfg.gmmn,
+            graph_context=args.graph_context,
+            pixels_per_class=args.pixels_per_class,
+        ),
+        data=upd(
+            cfg.data,
+            dataset=args.dataset,
+            root=args.data_root,
+            use_sbd=args.use_sbd,
+            base_size=args.base_size,
+            crop_size=args.crop_size,
+            batch_size=args.batch_size,
+            unseen_classes=unseen,
+            embedding_path=args.embedding_path,
+        ),
+        optim=upd(
+            cfg.optim,
+            lr=args.lr,
+            schedule=args.lr_scheduler,
+            nesterov=args.nesterov,
+        ),
+        train=upd(
+            cfg.train,
+            epochs=args.epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            seed=args.seed,
+            resume=args.resume,
+            checkname=args.checkname,
+            checkpoint_dir=args.checkpoint_dir,
+            eval_interval=args.eval_interval,
+        ),
+    )
+    return cfg
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="zs3_tpu", description="TPU-native zero-shot semantic segmentation"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in ("train-seen", "train-gmmn", "train-zs5", "evaluate", "show-config"):
+        p = sub.add_parser(name)
+        _add_common(p)
+    args = parser.parse_args(argv)
+    cfg = build_config(args)
+
+    if args.command == "show-config":
+        print(cfg.to_json())
+        return 0
+
+    if args.command == "train-seen":
+        from zs3_tpu.train.seen import SeenTrainer
+
+        result = SeenTrainer(cfg).fit()
+    elif args.command == "train-gmmn":
+        from zs3_tpu.train.gmmn import GMMNTrainer
+
+        result = GMMNTrainer(cfg).fit()
+    elif args.command == "train-zs5":
+        from zs3_tpu.train.self_training import ZS5Trainer
+
+        trainer = ZS5Trainer(cfg)
+        n = trainer.pseudo_label()
+        print(f"pseudo-labeled {n} images", file=sys.stderr)
+        result = trainer.fit()
+    elif args.command == "evaluate":
+        from zs3_tpu.train.seen import SeenTrainer
+
+        trainer = SeenTrainer(cfg)
+        result = trainer.validate(epoch=0)
+    else:  # pragma: no cover
+        raise AssertionError(args.command)
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,3 +67,26 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def pad_eval_batch(batch: dict, multiple: int, ignore_index: int = 255) -> dict:
+    """Pad batch dim to a multiple of the mesh axis with inert samples.
+
+    Padded rows get all-`ignore_index` labels, so confusion-matrix /
+    masked-loss consumers are unaffected.  Keeps eval shapes static per
+    (dataset_size % batch) remainder without constraining eval batch
+    size to the device count.
+    """
+    import numpy as np
+
+    n = next(iter(batch.values())).shape[0]
+    target = pad_to_multiple(n, multiple)
+    if target == n:
+        return batch
+    pad = target - n
+    out = {}
+    for key, value in batch.items():
+        widths = [(0, pad)] + [(0, 0)] * (value.ndim - 1)
+        fill = ignore_index if key == "label" else 0
+        out[key] = np.pad(np.asarray(value), widths, constant_values=fill)
+    return out

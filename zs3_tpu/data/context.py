@@ -51,7 +51,9 @@ class ContextSegmentation:
 
     def _label_path(self, name: str) -> str:
         if self.weak_label_dir is not None and self.split == "train":
-            return os.path.join(self.weak_label_dir, name + ".png")
+            weak = os.path.join(self.weak_label_dir, name + ".png")
+            if os.path.exists(weak):
+                return weak
         return os.path.join(self.label_dir, name + ".png")
 
     def _contains_unseen(self, name: str) -> bool:

@@ -119,8 +119,14 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
     if cfg.dataset == "pascal":
         from zs3_tpu.data.voc import VOCSegmentation
 
+        # ZS5 weak-label mode keeps unseen-containing images in the train
+        # set (that is the point of self-training) — no filtering then.
         train_ds: Any = VOCSegmentation(
-            cfg.root, "train", unseen, weak_label_dir=cfg.weak_label_dir
+            cfg.root,
+            "train",
+            unseen,
+            filter_unseen=cfg.weak_label_dir is None,
+            weak_label_dir=cfg.weak_label_dir,
         )
         val_ds: Any = VOCSegmentation(cfg.root, "val", unseen, filter_unseen=False)
         if cfg.use_sbd:
@@ -133,7 +139,11 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
         from zs3_tpu.data.context import ContextSegmentation
 
         train_ds = ContextSegmentation(
-            cfg.root, "train", unseen, weak_label_dir=cfg.weak_label_dir
+            cfg.root,
+            "train",
+            unseen,
+            filter_unseen=cfg.weak_label_dir is None,
+            weak_label_dir=cfg.weak_label_dir,
         )
         val_ds = ContextSegmentation(cfg.root, "val", unseen, filter_unseen=False)
         num_classes = ContextSegmentation.NUM_CLASSES

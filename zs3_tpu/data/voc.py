@@ -53,8 +53,12 @@ class VOCSegmentation:
             self.names = [n for n in names if not self._contains_unseen(n)]
 
     def _label_path(self, name: str) -> str:
+        # Weak (pseudo) labels exist only for images that contained unseen
+        # classes; everything else falls back to ground truth.
         if self.weak_label_dir is not None and self.split == "train":
-            return os.path.join(self.weak_label_dir, name + ".png")
+            weak = os.path.join(self.weak_label_dir, name + ".png")
+            if os.path.exists(weak):
+                return weak
         return os.path.join(self.label_dir, name + ".png")
 
     def _contains_unseen(self, name: str) -> bool:

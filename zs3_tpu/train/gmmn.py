@@ -1,0 +1,402 @@
+"""ZS3Net zero-shot training: GMMN generator + classifier retraining.
+
+Functional parity target: reference train_pascal_GMMN.py /
+train_context_GMMN.py (class Trainer) — load a seen-classes DeepLab
+checkpoint, freeze the trunk, then per batch (SURVEY.md §3.3):
+
+  1. extract real 256-d pixel features on the os4 grid, labels
+     downsampled to the feature grid;
+  2. generator step: per seen class present in the batch, MMD between
+     generated features (class embedding + noise) and that class's real
+     pixel features; backprop the generator only;
+  3. classifier step: synthesize unseen-class features from their
+     embeddings, mix with real seen features, retrain the split 1x1
+     classifier with CE.
+
+TPU-native shape: steps 1-3 fuse into ONE jit program per batch.  The
+ragged "pixels of class c in this batch" sets become fixed budgets +
+masks (zs3_tpu.ops.sampling), so there is exactly one compilation.  The
+classifier-retrain substep touches only (C, budget, 256) feature tensors
+that never leave HBM (BASELINE.json: "retrains ... entirely in HBM").
+Validation rebuilds the full network variables with the retrained
+classifier kernel spliced in and reports seen/unseen/harmonic mIoU.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from zs3_tpu.core.config import Config
+from zs3_tpu.core.mesh import make_mesh, pad_eval_batch, replicate, shard_batch
+from zs3_tpu.data.classes import CONTEXT_CLASSES, VOC_CLASSES
+from zs3_tpu.data.embeddings import load_class_embeddings
+from zs3_tpu.data.loader import make_data_loader
+from zs3_tpu.metrics.evaluator import Evaluator
+from zs3_tpu.models.deeplab import build_deeplab
+from zs3_tpu.models.gmmn import build_gmmn
+from zs3_tpu.ops.confusion import confusion_matrix
+from zs3_tpu.ops.mmd import batched_mmd_loss
+from zs3_tpu.ops.sampling import (
+    class_adjacency,
+    downsample_labels,
+    neighbor_lists_from_adjacency,
+    sample_class_pixels,
+)
+from zs3_tpu.train.state import create_seg_state
+from zs3_tpu.utils.saver import Saver
+
+
+class GenState(train_state.TrainState):
+    pass
+
+
+class ClsState(train_state.TrainState):
+    pass
+
+
+def splice_classifier(trunk_variables, cls_params):
+    """Insert retrained (D, C) classifier weights back into the DeepLab
+    variable tree (as the 1x1 conv the decoder holds)."""
+    params = dict(trunk_variables["params"])
+    decoder = dict(params["decoder"])
+    classifier = {
+        "conv": {
+            "kernel": cls_params["kernel"][None, None],
+            "bias": cls_params["bias"],
+        }
+    }
+    decoder["classifier"] = classifier
+    params["decoder"] = decoder
+    return {**trunk_variables, "params": params}
+
+
+def extract_classifier(variables) -> Dict[str, jax.Array]:
+    conv = variables["params"]["decoder"]["classifier"]["conv"]
+    return {"kernel": conv["kernel"][0, 0], "bias": conv["bias"]}
+
+
+def make_zs3_step(
+    model,
+    generator,
+    cfg: Config,
+    num_classes: int,
+    unseen_mask: jax.Array,
+    graph_context: bool,
+    donate: bool = True,
+):
+    """One fused jit step: features -> sample -> gen MMD update -> cls CE update."""
+    budget = cfg.gmmn.pixels_per_class
+    noise_dim = cfg.gmmn.noise_dim
+    sigmas = cfg.gmmn.mmd_sigmas
+    ignore = cfg.data.ignore_index
+    max_nb = cfg.gmmn.max_graph_neighbors
+    seen_mask_f = 1.0 - unseen_mask  # (C,)
+
+    def gen_apply(params, embeddings, emb_idx, noise, neighbors, nb_mask):
+        """(C, P, ...) generation, optionally graph-conditioned."""
+        emb = embeddings[emb_idx]  # (C, embed_dim)
+        emb_b = jnp.broadcast_to(emb[:, None], (emb.shape[0], noise.shape[1], emb.shape[1]))
+        if graph_context:
+            nb_emb = embeddings[neighbors]  # (C, K, embed_dim)
+            nb_emb_b = jnp.broadcast_to(
+                nb_emb[:, None], (nb_emb.shape[0], noise.shape[1], *nb_emb.shape[1:])
+            )
+            nb_mask_b = jnp.broadcast_to(
+                nb_mask[:, None], (nb_mask.shape[0], noise.shape[1], nb_mask.shape[1])
+            )
+            return generator.apply(
+                {"params": params}, emb_b, noise, nb_emb_b, nb_mask_b
+            )
+        return generator.apply({"params": params}, emb_b, noise)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(
+        gen_state: GenState,
+        cls_state: ClsState,
+        trunk_variables,
+        embeddings: jax.Array,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+    ):
+        r_sample, r_noise1, r_noise2 = jax.random.split(
+            jax.random.fold_in(rng, gen_state.step), 3
+        )
+        # 1. frozen-trunk feature extraction (eval-mode BN, no dropout)
+        feats = model.apply(
+            trunk_variables, batch["image"], train=False, method="forward_features"
+        )
+        b, h, w, d = feats.shape
+        labels = downsample_labels(batch["label"], (h, w))
+        flat_feats = feats.reshape(-1, d).astype(jnp.float32)
+        flat_labels = labels.reshape(-1)
+        real, real_mask = sample_class_pixels(
+            flat_feats, flat_labels, num_classes, budget, r_sample
+        )
+        # graph conditioning from batch label adjacency
+        if graph_context:
+            adj = class_adjacency(batch["label"], num_classes)
+            neighbors, nb_mask = neighbor_lists_from_adjacency(adj, max_nb)
+        else:
+            neighbors = jnp.zeros((num_classes, max_nb), jnp.int32)
+            nb_mask = jnp.zeros((num_classes, max_nb), jnp.float32)
+        emb_idx = jnp.arange(num_classes)
+
+        # 2. generator MMD step over seen classes present in the batch
+        noise1 = jax.random.normal(r_noise1, (num_classes, budget, noise_dim))
+
+        def gen_loss_fn(gp):
+            fake = gen_apply(gp, embeddings, emb_idx, noise1, neighbors, nb_mask)
+            fake_mask = jnp.broadcast_to(
+                seen_mask_f[:, None], (num_classes, budget)
+            )
+            return batched_mmd_loss(
+                fake, real, fake_mask, real_mask * seen_mask_f[:, None], sigmas
+            )
+
+        mmd, gen_grads = jax.value_and_grad(gen_loss_fn)(gen_state.params)
+        gen_state = gen_state.apply_gradients(grads=gen_grads)
+
+        # 3. classifier retrain on real-seen + generated-unseen features
+        noise2 = jax.random.normal(r_noise2, (num_classes, budget, noise_dim))
+        fake_all = gen_apply(
+            gen_state.params, embeddings, emb_idx, noise2, neighbors, nb_mask
+        )
+        cls_feats = jnp.where(unseen_mask[:, None, None] > 0, fake_all, real)
+        cls_mask = jnp.where(
+            unseen_mask[:, None] > 0,
+            jnp.ones_like(real_mask),
+            real_mask,
+        )
+        cls_labels = jnp.broadcast_to(
+            jnp.arange(num_classes)[:, None], (num_classes, budget)
+        )
+
+        def cls_loss_fn(cp):
+            logits = (
+                jnp.einsum(
+                    "cpd,dk->cpk",
+                    cls_feats,
+                    cp["kernel"],
+                    preferred_element_type=jnp.float32,
+                )
+                + cp["bias"]
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, cls_labels[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * cls_mask) / jnp.maximum(jnp.sum(cls_mask), 1.0)
+
+        ce, cls_grads = jax.value_and_grad(cls_loss_fn)(cls_state.params)
+        cls_state = cls_state.apply_gradients(grads=cls_grads)
+        return gen_state, cls_state, {"mmd": mmd, "cls_ce": ce}
+
+    return step
+
+
+def make_zs3_eval_step(model, num_classes: int, ignore_index: int):
+    @jax.jit
+    def eval_step(trunk_variables, cls_params, batch):
+        variables = splice_classifier(trunk_variables, cls_params)
+        logits = model.apply(variables, batch["image"], train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(batch["label"], pred, num_classes, ignore_index)
+
+    return eval_step
+
+
+class GMMNTrainer:
+    """Step 2 of the pipeline: zero-shot transfer via generated features."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        seg_variables: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        saver: Optional[Saver] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh_axes)
+        self.train_loader, self.val_loader, num_classes = make_data_loader(cfg.data)
+        self.num_classes = num_classes
+        import dataclasses
+
+        if cfg.model.num_classes != num_classes:
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, num_classes=num_classes)
+            )
+            self.cfg = cfg
+        self.model = build_deeplab(cfg.model)
+        rng = jax.random.key(cfg.train.seed)
+        self.rng, init_rng, gen_rng = jax.random.split(rng, 3)
+
+        # Trunk: from the supervised checkpoint (cfg.train.resume) or fresh.
+        if seg_variables is None:
+            dummy = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3))
+            seg_variables = self.model.init(init_rng, dummy, train=False)
+            if cfg.train.resume:
+                seg_state = create_seg_state(
+                    self.model, cfg, init_rng,
+                    (1, cfg.data.crop_size, cfg.data.crop_size, 3),
+                    total_steps=1, init_variables=seg_variables,
+                )
+                restored = Saver.restore(cfg.train.resume, seg_state)
+                seg_variables = {
+                    "params": restored.params,
+                    "batch_stats": restored.batch_stats,
+                }
+        self.trunk_variables = replicate(seg_variables, self.mesh)
+
+        # Class names -> embeddings
+        names = VOC_CLASSES if cfg.data.dataset != "context" else CONTEXT_CLASSES
+        if cfg.data.dataset == "synthetic":
+            names = tuple(f"class_{i}" for i in range(num_classes))
+        emb = load_class_embeddings(
+            names, cfg.data.embedding_path, cfg.gmmn.embed_dim
+        )
+        self.embeddings = replicate(jnp.asarray(emb), self.mesh)
+
+        self.unseen = tuple(cfg.data.unseen_classes)
+        unseen_mask = np.zeros((num_classes,), np.float32)
+        unseen_mask[list(self.unseen)] = 1.0
+        self.unseen_mask = jnp.asarray(unseen_mask)
+
+        # Generator
+        self.generator = build_gmmn(cfg.gmmn)
+        if cfg.gmmn.graph_context:
+            k = cfg.gmmn.max_graph_neighbors
+            gen_vars = self.generator.init(
+                gen_rng,
+                jnp.zeros((1, cfg.gmmn.embed_dim)),
+                jnp.zeros((1, cfg.gmmn.noise_dim)),
+                jnp.zeros((1, k, cfg.gmmn.embed_dim)),
+                jnp.zeros((1, k)),
+            )
+        else:
+            gen_vars = self.generator.init(
+                gen_rng,
+                jnp.zeros((1, cfg.gmmn.embed_dim)),
+                jnp.zeros((1, cfg.gmmn.noise_dim)),
+            )
+        self.gen_state = replicate(
+            GenState.create(
+                apply_fn=self.generator.apply,
+                params=gen_vars["params"],
+                tx=optax.adam(cfg.optim.gmmn_lr),
+            ),
+            self.mesh,
+        )
+        # Classifier: start from the trunk's trained classifier
+        cls_params = extract_classifier(seg_variables)
+        self.cls_state = replicate(
+            ClsState.create(
+                apply_fn=None,
+                params=cls_params,
+                tx=optax.adam(cfg.optim.classifier_lr),
+            ),
+            self.mesh,
+        )
+        self.step_fn = make_zs3_step(
+            self.model,
+            self.generator,
+            cfg,
+            num_classes,
+            self.unseen_mask,
+            cfg.gmmn.graph_context,
+            donate=cfg.train.donate_state,
+        )
+        self.eval_fn = make_zs3_eval_step(
+            self.model, num_classes, cfg.data.ignore_index
+        )
+        self.saver = saver or Saver(
+            cfg.train.checkpoint_dir,
+            cfg.data.dataset,
+            cfg.train.checkname + "-gmmn",
+            cfg,
+            keep=cfg.train.keep_checkpoints,
+        )
+        self.best_hiou = 0.0
+        self.steps_per_epoch = cfg.train.steps_per_epoch or len(self.train_loader)
+
+    def _device_batch(self, batch, eval: bool = False):
+        batch = {"image": batch["image"], "label": batch["label"]}
+        n_data = self.mesh.shape.get("data", 1)
+        if eval:
+            batch = pad_eval_batch(batch, n_data, self.cfg.data.ignore_index)
+        elif batch["image"].shape[0] % n_data:
+            raise ValueError(
+                f"train batch size {batch['image'].shape[0]} must be divisible "
+                f"by the data mesh axis ({n_data})"
+            )
+        return shard_batch(batch, self.mesh)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        mmds, ces = [], []
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader):
+            if i >= self.steps_per_epoch:
+                break
+            self.gen_state, self.cls_state, out = self.step_fn(
+                self.gen_state,
+                self.cls_state,
+                self.trunk_variables,
+                self.embeddings,
+                self._device_batch(batch),
+                self.rng,
+            )
+            mmds.append(out["mmd"])
+            ces.append(out["cls_ce"])
+        return {
+            "epoch": epoch,
+            "mmd": float(jnp.mean(jnp.stack(mmds))) if mmds else float("nan"),
+            "cls_ce": float(jnp.mean(jnp.stack(ces))) if ces else float("nan"),
+            "epoch_seconds": time.time() - t0,
+        }
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        evaluator = Evaluator(
+            self.num_classes, self.cfg.data.ignore_index, self.unseen
+        )
+        for batch in self.val_loader:
+            conf = self.eval_fn(
+                self.trunk_variables,
+                self.cls_state.params,
+                self._device_batch(batch, eval=True),
+            )
+            evaluator.add_confusion(conf)
+        report = evaluator.compute()
+        h = report.harmonic_miou or 0.0
+        is_best = h > self.best_hiou
+        if is_best:
+            self.best_hiou = h
+        self.saver.save_checkpoint(
+            {"gen": self.gen_state, "cls": self.cls_state},
+            int(jax.device_get(self.gen_state.step)),
+            self.best_hiou,
+            is_best=is_best,
+            extra={"epoch": epoch, **report.as_dict()},
+        )
+        return report.as_dict()
+
+    def fit(self) -> Dict[str, float]:
+        stats: Dict[str, float] = {}
+        report: Dict[str, float] = {}
+        for epoch in range(self.cfg.train.epochs):
+            stats = self.train_epoch(epoch)
+            if (epoch + 1) % self.cfg.train.eval_interval == 0:
+                report = self.validate(epoch)
+        return {**stats, **report}
+
+    def final_variables(self):
+        """Full network variables with the retrained classifier."""
+        return splice_classifier(
+            jax.device_get(self.trunk_variables),
+            jax.device_get(self.cls_state.params),
+        )

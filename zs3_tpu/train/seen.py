@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.core.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from zs3_tpu.core.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_eval_batch,
+    replicate,
+    shard_batch,
+)
 from zs3_tpu.data.loader import make_data_loader
 from zs3_tpu.metrics.evaluator import Evaluator
 from zs3_tpu.models.deeplab import build_deeplab
@@ -121,10 +127,17 @@ class SeenTrainer:
         self.best_metric = 0.0
         self.history = []
 
-    def _device_batch(self, batch):
-        return shard_batch(
-            {"image": batch["image"], "label": batch["label"]}, self.mesh
-        )
+    def _device_batch(self, batch, eval: bool = False):
+        batch = {"image": batch["image"], "label": batch["label"]}
+        n_data = self.mesh.shape.get("data", 1)
+        if eval:
+            batch = pad_eval_batch(batch, n_data, self.cfg.data.ignore_index)
+        elif batch["image"].shape[0] % n_data:
+            raise ValueError(
+                f"train batch size {batch['image'].shape[0]} must be divisible "
+                f"by the data mesh axis ({n_data})"
+            )
+        return shard_batch(batch, self.mesh)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
@@ -150,7 +163,7 @@ class SeenTrainer:
             self.cfg.data.unseen_classes,
         )
         for batch in self.val_loader:
-            conf = self.eval_step(self.state, self._device_batch(batch))
+            conf = self.eval_step(self.state, self._device_batch(batch, eval=True))
             evaluator.add_confusion(conf)
         report = evaluator.compute()
         metric = report.miou
