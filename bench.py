@@ -4,9 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference never published throughput (BASELINE.json.published is
 empty; the paper reports no img/s), so vs_baseline is reported against a
-recorded best-so-far in BENCH_HISTORY if present, else 1.0.  The model
-runs in bf16 compute / f32 params, jit-compiled, batch swept for best
-throughput, with block_until_ready fencing for honest numbers.
+recorded best-so-far in BENCH_HISTORY if present, else 1.0.
+
+Timing methodology (important under the axon TPU relay):
+  * every timed call gets a *different* input (a scalar shift folded into
+    the jit fn) — identical-input calls can be served from a result cache;
+  * the jit fn returns a scalar reduction of the logits and the harness
+    calls float() on it, forcing a full compute + value round-trip;
+    block_until_ready() alone does not block through the relay.
 """
 
 from __future__ import annotations
@@ -40,28 +45,31 @@ def main():
     variables = jax.device_put(variables, dev)
 
     @jax.jit
-    def forward(v, x):
-        return model.apply(v, x, train=False)
+    def forward(v, x, shift):
+        # shift makes every timed call a distinct computation; the sum
+        # forces materialization of the full logits.
+        logits = model.apply(v, x + shift, train=False)
+        return jnp.sum(logits.astype(jnp.float32))
 
     best = 0.0
-    batches = [8, 16, 32] if dev.platform != "cpu" else [1]
+    on_tpu = dev.platform != "cpu"
+    batches = [8, 16, 32] if on_tpu else [1]
+    n_iters = 10 if on_tpu else 2
     for batch in batches:
         x = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, size, size, 3), jnp.float32),
             dev,
         )
         try:
-            out = forward(variables, x)
-            out.block_until_ready()
+            float(forward(variables, x, 0.0))  # compile + warm
         except Exception:
             continue  # OOM at this batch; try smaller
-        # Warmup done by compile; timed runs:
-        n_iters = 10 if dev.platform != "cpu" else 2
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = forward(variables, x)
-        out.block_until_ready()
+        acc = 0.0
+        for i in range(n_iters):
+            acc += float(forward(variables, x, 1e-4 * (i + 1)))
         dt = time.perf_counter() - t0
+        del acc
         ips = batch * n_iters / dt
         best = max(best, ips)
 

@@ -106,3 +106,17 @@ def test_graph_context_trainer_smoke(zs3_cfg):
     assert np.isfinite(stats["mmd"])
     report = t.validate(0)
     assert "harmonic_miou" in report
+
+
+def test_gmmn_trainer_pallas_backend(zs3_cfg):
+    """The Pallas MMD path must train identically-shaped to the jnp path
+    (interpret mode on CPU) and produce a finite, positive MMD."""
+    import dataclasses
+
+    cfg = zs3_cfg.replace(
+        gmmn=dataclasses.replace(zs3_cfg.gmmn, mmd_backend="pallas")
+    )
+    t = GMMNTrainer(cfg)
+    stats = t.train_epoch(0)
+    assert np.isfinite(stats["mmd"]) and stats["mmd"] > 0
+    assert np.isfinite(stats["cls_ce"])

@@ -50,6 +50,10 @@ class GMMNConfig:
     mmd_sigmas: Tuple[float, ...] = (2.0, 5.0, 10.0, 20.0, 40.0, 80.0)
     # Fixed per-class pixel budget for jit-safe ragged sampling.
     pixels_per_class: int = 128
+    # MMD backend: 'jnp' (XLA-fused oracle), 'pallas' (tiled kernel), or
+    # 'auto' (pallas on TPU when the per-class budget is large enough to
+    # beat XLA's fusion, i.e. >= 512 pixels/class).
+    mmd_backend: str = "auto"
     # Graph-context variant: aggregate neighbor class embeddings.
     graph_context: bool = False
     graph_hidden_dim: int = 256

@@ -44,6 +44,7 @@ from zs3_tpu.models.deeplab import build_deeplab
 from zs3_tpu.models.gmmn import build_gmmn
 from zs3_tpu.ops.confusion import confusion_matrix
 from zs3_tpu.ops.mmd import batched_mmd_loss
+from zs3_tpu.ops.pallas_mmd import batched_pallas_mmd_loss
 from zs3_tpu.ops.sampling import (
     class_adjacency,
     downsample_labels,
@@ -96,6 +97,20 @@ def make_zs3_step(
     budget = cfg.gmmn.pixels_per_class
     noise_dim = cfg.gmmn.noise_dim
     sigmas = cfg.gmmn.mmd_sigmas
+    backend = cfg.gmmn.mmd_backend
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if budget >= 512 and jax.default_backend() not in ("cpu",)
+            else "jnp"
+        )
+    if backend == "pallas":
+        # interpret mode lets the Pallas path run on CPU (tests/smoke).
+        mmd_fn = functools.partial(
+            batched_pallas_mmd_loss, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        mmd_fn = batched_mmd_loss
     ignore = cfg.data.ignore_index
     max_nb = cfg.gmmn.max_graph_neighbors
     seen_mask_f = 1.0 - unseen_mask  # (C,)
@@ -157,7 +172,7 @@ def make_zs3_step(
             fake_mask = jnp.broadcast_to(
                 seen_mask_f[:, None], (num_classes, budget)
             )
-            return batched_mmd_loss(
+            return mmd_fn(
                 fake, real, fake_mask, real_mask * seen_mask_f[:, None], sigmas
             )
 
