@@ -1,0 +1,68 @@
+"""Backbone family coverage: shapes, strides, DeepLab assembly, jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zs3_tpu.models.deeplab import DeepLab
+from zs3_tpu.models.drn import DRN54
+from zs3_tpu.models.mobilenet import MobileNetV2Backbone
+from zs3_tpu.models.xception import AlignedXception
+
+
+@pytest.mark.parametrize(
+    "module,kw,high_ch,low_ch,low_os",
+    [
+        (AlignedXception, {"output_stride": 16}, 2048, 128, 4),
+        (MobileNetV2Backbone, {"output_stride": 16}, 320, 24, 4),
+        (DRN54, {}, 512, 256, 4),
+    ],
+)
+def test_backbone_shapes(module, kw, high_ch, low_ch, low_os):
+    m = module(**kw)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = m.init(jax.random.key(0), x)
+    high, low = m.apply(variables, x)
+    os_high = 8 if module is DRN54 else kw.get("output_stride", 16)
+    assert high.shape[-1] == high_ch
+    assert low.shape[-1] == low_ch
+    assert low.shape[1] == 65 // low_os + 1
+    assert high.shape[1] == (65 - 1) // os_high + 1
+
+
+def test_xception_os8_spatial():
+    m = AlignedXception(output_stride=8)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = m.init(jax.random.key(0), x)
+    high, _ = m.apply(variables, x)
+    assert high.shape[1] == 9  # os8 on 65
+
+
+@pytest.mark.parametrize("backbone", ["xception", "mobilenet", "drn"])
+def test_deeplab_assembly(backbone):
+    m = DeepLab(backbone=backbone, num_classes=5, dropout=False)
+    x = jnp.ones((1, 65, 65, 3))
+    variables = m.init(jax.random.key(0), x)
+    logits = m.apply(variables, x)
+    assert logits.shape == (1, 65, 65, 5)
+    feats = m.apply(variables, x, method="forward_features")
+    assert feats.shape[-1] == 256
+    # train mode runs and updates stats
+    _, updates = m.apply(
+        variables, x, train=True, deterministic=True, mutable=["batch_stats"]
+    )
+    assert updates["batch_stats"]
+
+
+def test_mobilenet_dilation_rewrite():
+    """os8 must keep spatial resolution from stage 3 onward."""
+    m8 = MobileNetV2Backbone(output_stride=8)
+    x = jnp.zeros((1, 65, 65, 3))
+    v8 = m8.init(jax.random.key(0), x)
+    high8, _ = m8.apply(v8, x)
+    assert high8.shape[1] == 9  # os8
+    m16 = MobileNetV2Backbone(output_stride=16)
+    v16 = m16.init(jax.random.key(0), x)
+    high16, _ = m16.apply(v16, x)
+    assert high16.shape[1] == 5  # os16

@@ -1,0 +1,110 @@
+"""Host transforms: shapes, fill semantics, determinism, torch-free."""
+
+import numpy as np
+import pytest
+
+from zs3_tpu.data import transforms as T
+
+
+@pytest.fixture()
+def sample(rng):
+    return {
+        "image": rng.integers(0, 255, (40, 60, 3)).astype(np.uint8),
+        "label": rng.integers(0, 5, (40, 60)).astype(np.uint8),
+    }
+
+
+def test_random_scale_crop_shapes_and_fill(sample):
+    rng = np.random.default_rng(0)
+    out = T.random_scale_crop(sample, rng, base_size=48, crop_size=48, fill=255)
+    assert out["image"].shape == (48, 48, 3)
+    assert out["label"].shape == (48, 48)
+    # labels may contain the fill value but never other out-of-range ids
+    assert set(np.unique(out["label"])) <= set(range(5)) | {255}
+
+
+def test_random_scale_crop_deterministic(sample):
+    a = T.random_scale_crop(sample, np.random.default_rng(3), 48, 48)
+    b = T.random_scale_crop(sample, np.random.default_rng(3), 48, 48)
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_fix_scale_crop_center(sample):
+    out = T.fix_scale_crop(sample, crop_size=32)
+    assert out["image"].shape == (32, 32, 3)
+
+
+def test_fixed_resize(sample):
+    out = T.fixed_resize(sample, 24)
+    assert out["image"].shape == (24, 24, 3)
+    assert out["label"].shape == (24, 24)
+
+
+def test_hflip(sample):
+    rng = np.random.default_rng(0)
+    flipped = None
+    for seed in range(10):
+        out = T.random_horizontal_flip(sample, np.random.default_rng(seed))
+        if not np.array_equal(out["image"], sample["image"]):
+            flipped = out
+            break
+    assert flipped is not None
+    np.testing.assert_array_equal(flipped["image"], sample["image"][:, ::-1])
+    np.testing.assert_array_equal(flipped["label"], sample["label"][:, ::-1])
+
+
+def test_rotate_fills_label(sample):
+    # find a seed with a visibly nonzero rotation angle
+    filled = False
+    for seed in range(20):
+        out = T.random_rotate(sample, np.random.default_rng(seed), degree=30, fill=255)
+        assert out["label"].shape == sample["label"].shape
+        if 255 in np.unique(out["label"]):  # corners filled with ignore
+            filled = True
+            break
+    assert filled
+
+
+def test_normalize():
+    s = {
+        "image": np.full((4, 4, 3), 255, np.uint8),
+        "label": np.ones((4, 4), np.uint8),
+    }
+    out = T.normalize(s)
+    expected = (1.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    np.testing.assert_allclose(out["image"][0, 0], expected, rtol=1e-5)
+    assert out["label"].dtype == np.int32
+
+
+def test_train_transform_pipeline(sample):
+    out = T.train_transform(sample, np.random.default_rng(0), 48, 48)
+    assert out["image"].shape == (48, 48, 3)
+    assert out["image"].dtype == np.float32
+
+
+def test_device_batched_normalize():
+    import jax.numpy as jnp
+
+    imgs = jnp.full((2, 4, 4, 3), 255, jnp.uint8)
+    out = T.batched_normalize_device(imgs)
+    expected = (1.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, rtol=1e-5)
+
+
+def test_device_batched_flip():
+    import jax
+    import jax.numpy as jnp
+
+    imgs = jnp.arange(2 * 2 * 3 * 1, dtype=jnp.float32).reshape(2, 2, 3, 1)
+    lbls = jnp.arange(2 * 2 * 3, dtype=jnp.int32).reshape(2, 2, 3)
+    out_i, out_l = T.batched_random_flip_device(imgs, lbls, jax.random.key(0))
+    flips = np.asarray(
+        jax.random.bernoulli(jax.random.key(0), 0.5, (2,))
+    )
+    for b in range(2):
+        if flips[b]:
+            np.testing.assert_array_equal(
+                np.asarray(out_l[b]), np.asarray(lbls[b, :, ::-1])
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(out_l[b]), np.asarray(lbls[b]))

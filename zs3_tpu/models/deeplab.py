@@ -130,7 +130,9 @@ class DeepLab(nn.Module):
         size = x.shape[1:3]
         feats = self.forward_features(x, train=train, deterministic=deterministic)
         logits = self.classify(feats)
-        return self.upsample_logits(logits.astype(jnp.float32), size)
+        # Upsample in the compute dtype (bf16 models stay on the fast MXU
+        # path; f32 models keep full-precision parity), output f32.
+        return self.upsample_logits(logits, size).astype(jnp.float32)
 
 
 def build_deeplab(cfg: ModelConfig) -> DeepLab:

@@ -63,8 +63,10 @@ def resize_bilinear(
 ) -> jax.Array:
     """Bilinear-resize NHWC (or HWC) images to `size` = (H_out, W_out).
 
-    Interpolation runs in f32 regardless of input dtype (matching the
-    torch reference numerics); output keeps the input dtype.
+    Precision policy: f32 inputs interpolate with full-precision matmuls
+    (the TPU default would truncate weights to bf16 and break golden
+    parity with torch); bf16 inputs stay on the fast MXU path — their
+    own quantization already dwarfs the matmul rounding.
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -72,15 +74,19 @@ def resize_bilinear(
     n, h, w, c = x.shape
     out_h, out_w = size
     orig_dtype = x.dtype
-    y = x.astype(jnp.float32)
-    # f32 inputs get full-precision matmuls (TPU default would truncate the
-    # interpolation weights to bf16 and break golden parity with torch).
-    precision = jax.lax.Precision.HIGHEST
+    if orig_dtype == jnp.bfloat16:
+        y = x
+        precision = jax.lax.Precision.DEFAULT
+        wdtype = jnp.bfloat16
+    else:
+        y = x.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
+        wdtype = jnp.float32
     if out_h != h:
-        wh = jnp.asarray(_linear_matrix_np(h, out_h, align_corners))
+        wh = jnp.asarray(_linear_matrix_np(h, out_h, align_corners), dtype=wdtype)
         y = jnp.einsum("oh,bhwc->bowc", wh, y, precision=precision)
     if out_w != w:
-        ww = jnp.asarray(_linear_matrix_np(w, out_w, align_corners))
+        ww = jnp.asarray(_linear_matrix_np(w, out_w, align_corners), dtype=wdtype)
         y = jnp.einsum("ow,bhwc->bhoc", ww, y, precision=precision)
     y = y.astype(orig_dtype)
     return y[0] if squeeze else y

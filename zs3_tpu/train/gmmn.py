@@ -254,7 +254,9 @@ class GMMNTrainer:
         # Trunk: from the supervised checkpoint (cfg.train.resume) or fresh.
         if seg_variables is None:
             dummy = jnp.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3))
-            seg_variables = self.model.init(init_rng, dummy, train=False)
+            seg_variables = jax.jit(
+                lambda r: self.model.init(r, dummy, train=False)
+            )(init_rng)
             if cfg.train.resume:
                 seg_state = create_seg_state(
                     self.model, cfg, init_rng,

@@ -75,7 +75,11 @@ def create_seg_state(
 ) -> SegTrainState:
     if init_variables is None:
         dummy = jnp.zeros(input_shape, jnp.float32)
-        init_variables = model.init(rng, dummy, train=False)
+        # jit the init: eager init dispatches hundreds of tiny ops, which
+        # is pathological through a remote-device relay.
+        init_variables = jax.jit(
+            lambda r: model.init(r, dummy, train=False)
+        )(rng)
     tx = make_seg_optimizer(cfg, total_steps)
     return SegTrainState.create(
         apply_fn=model.apply,
