@@ -75,19 +75,12 @@ def main():
         ips = batch * n_iters / dt
         best = max(best, ips)
 
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY")
-    prev = None
-    if os.path.exists(hist_path):
-        try:
-            prev = float(open(hist_path).read().strip())
-        except ValueError:
-            prev = None
-    vs = best / prev if prev else 1.0
-    try:
-        with open(hist_path, "w") as f:
-            f.write(f"{max(best, prev or 0.0):.4f}\n")
-    except OSError:
-        pass
+    # First honest measurement of this rebuild (v5e, B32, serial forcing)
+    # — the fixed denominator so vs_baseline tracks optimization progress.
+    # (The reference published no throughput numbers; BASELINE.json's
+    # target is empirical speed-of-light.)
+    DEFAULT_BASELINE = 365.254
+    vs = best / DEFAULT_BASELINE
     print(
         json.dumps(
             {

@@ -193,3 +193,26 @@ def test_context_reader_and_filter(context_tree):
     )
     assert len(unfiltered) == 3
     assert unfiltered[0]["image"].shape == (30, 30, 3)
+
+
+def test_embedding_pkl_and_concat(tmp_path):
+    import pickle
+
+    table = {n: np.full((10,), i, np.float32) for i, n in enumerate(VOC_CLASSES)}
+    pkl = tmp_path / "w2v.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(table, f)
+    emb = load_class_embeddings(VOC_CLASSES, str(pkl), normalize=False)
+    assert emb.shape == (21, 10)
+    np.testing.assert_allclose(emb[3], 3.0)
+    # comma-separated paths concatenate feature-wise (fastnvec style)
+    npy = tmp_path / "ft.npy"
+    np.save(npy, np.ones((21, 5), np.float32))
+    emb2 = load_class_embeddings(VOC_CLASSES, f"{pkl},{npy}", normalize=False)
+    assert emb2.shape == (21, 15)
+    # missing class raises
+    del table["cow"]
+    with open(pkl, "wb") as f:
+        pickle.dump(table, f)
+    with pytest.raises(ValueError):
+        load_class_embeddings(VOC_CLASSES, str(pkl))

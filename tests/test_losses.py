@@ -65,3 +65,22 @@ def test_class_weights_formula():
     np.testing.assert_allclose(
         w, 1.0 / np.log(1.02 + np.array([0.1, 0.0, 0.9])), rtol=1e-4
     )
+
+
+def test_compute_dataset_class_weights(tmp_path, rng):
+    from zs3_tpu.data.synthetic import SyntheticSegmentation
+    from zs3_tpu.utils.losses import compute_dataset_class_weights
+    import numpy as np
+
+    ds = SyntheticSegmentation(8, (16, 16), num_classes=4, seed=0)
+    cache = str(tmp_path / "hist.npy")
+    w1 = compute_dataset_class_weights(ds, 4, cache_path=cache)
+    assert w1.shape == (4,)
+    # cache round trip gives identical weights
+    w2 = compute_dataset_class_weights(ds, 4, cache_path=cache)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    # rarer classes get larger weights
+    hist = np.load(cache)
+    order_by_freq = np.argsort(hist)
+    w = np.asarray(w1)
+    assert w[order_by_freq[0]] >= w[order_by_freq[-1]]

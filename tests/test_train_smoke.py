@@ -67,3 +67,33 @@ def test_loss_decreases_over_steps(tiny_cfg):
     for e in range(1, 4):
         last = trainer.train_epoch(e)["train_loss"]
     assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_finetune_resume_resets_step(tiny_cfg):
+    import dataclasses
+    import jax
+
+    from zs3_tpu.utils.saver import Saver
+
+    trainer = SeenTrainer(tiny_cfg)
+    trainer.train_epoch(0)
+    trainer.validate(0)
+    latest = Saver.latest_checkpoint(trainer.saver.directory)
+
+    ft_cfg = tiny_cfg.replace(
+        train=dataclasses.replace(tiny_cfg.train, resume=latest, finetune=True)
+    )
+    ft = SeenTrainer(ft_cfg)
+    assert int(jax.device_get(ft.state.step)) == 0  # fresh optimizer
+    # but weights came from the checkpoint
+    import numpy as np
+
+    a = jax.tree.leaves(jax.device_get(trainer.state.params))[0]
+    b = jax.tree.leaves(jax.device_get(ft.state.params))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    full_cfg = tiny_cfg.replace(
+        train=dataclasses.replace(tiny_cfg.train, resume=latest, finetune=False)
+    )
+    full = SeenTrainer(full_cfg)
+    assert int(jax.device_get(full.state.step)) == 2  # optimizer state restored

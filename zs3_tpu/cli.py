@@ -52,8 +52,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--lr-scheduler", choices=["poly", "step", "cos", "const"])
     p.add_argument("--nesterov", action="store_true", default=None)
     p.add_argument("--loss-type", choices=["ce", "focal"])
+    p.add_argument("--use-balanced-weights", action="store_true", default=None)
     p.add_argument("--seed", type=int)
     p.add_argument("--resume", type=str)
+    p.add_argument("--ft", action="store_true", default=None,
+                   help="fine-tune: load weights only, fresh optimizer")
     p.add_argument("--checkname", type=str)
     p.add_argument("--checkpoint-dir", type=str)
     p.add_argument("--eval-interval", type=int)
@@ -115,6 +118,8 @@ def build_config(args: argparse.Namespace) -> Config:
         optim=upd(
             cfg.optim,
             lr=args.lr,
+            loss_type=args.loss_type,
+            use_balanced_weights=args.use_balanced_weights,
             schedule=args.lr_scheduler,
             nesterov=args.nesterov,
         ),
@@ -124,6 +129,7 @@ def build_config(args: argparse.Namespace) -> Config:
             steps_per_epoch=args.steps_per_epoch,
             seed=args.seed,
             resume=args.resume,
+            finetune=args.ft,
             checkname=args.checkname,
             checkpoint_dir=args.checkpoint_dir,
             eval_interval=args.eval_interval,

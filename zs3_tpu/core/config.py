@@ -87,6 +87,8 @@ class OptimConfig:
     """SGD + poly schedule (reference: zs3/utils/lr_scheduler.py LR_Scheduler)."""
 
     lr: float = 0.007
+    loss_type: str = "ce"  # ce | focal
+    use_balanced_weights: bool = False
     momentum: float = 0.9
     weight_decay: float = 5e-4
     nesterov: bool = False
@@ -109,6 +111,9 @@ class TrainConfig:
     checkpoint_dir: str = "run"
     checkname: str = "deeplab-resnet101"
     resume: Optional[str] = None
+    # Fine-tune semantics (reference --ft): load params/BN stats from the
+    # checkpoint but restart the optimizer state, step count and schedule.
+    finetune: bool = False
     seed: int = 0
     log_every: int = 20
     keep_checkpoints: int = 3

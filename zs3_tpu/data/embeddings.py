@@ -28,6 +28,34 @@ def _fallback_embedding(name: str, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _load_embedding_file(path: str, class_names: Sequence[str]) -> np.ndarray:
+    """Load a (num_classes, dim) matrix from .npy, or a name->vector dict
+    from .pkl/.npz (the formats the reference ships word2vec/fasttext in).
+
+    Multiple comma-separated paths concatenate along the feature axis
+    (the reference's combined 'fastnvec' = fasttext + word2vec setting).
+    """
+    if "," in path:
+        parts = [_load_embedding_file(p, class_names) for p in path.split(",")]
+        return np.concatenate(parts, axis=1)
+    if path.endswith((".pkl", ".pickle")):
+        import pickle
+
+        with open(path, "rb") as f:
+            table = pickle.load(f)
+        missing = [n for n in class_names if n not in table]
+        if missing:
+            raise ValueError(f"embeddings missing for classes: {missing}")
+        return np.stack([np.asarray(table[n], np.float32) for n in class_names])
+    if path.endswith(".npz"):
+        data = np.load(path)
+        missing = [n for n in class_names if n not in data]
+        if missing:
+            raise ValueError(f"embeddings missing for classes: {missing}")
+        return np.stack([np.asarray(data[n], np.float32) for n in class_names])
+    return np.load(path)
+
+
 def load_class_embeddings(
     class_names: Sequence[str],
     path: Optional[str] = None,
@@ -36,7 +64,7 @@ def load_class_embeddings(
 ) -> np.ndarray:
     """(num_classes, dim) float32 embedding matrix."""
     if path is not None:
-        emb = np.load(path)
+        emb = _load_embedding_file(path, class_names)
         if emb.shape[0] != len(class_names):
             raise ValueError(
                 f"embedding file has {emb.shape[0]} rows, expected {len(class_names)}"

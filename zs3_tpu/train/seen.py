@@ -111,9 +111,29 @@ class SeenTrainer:
             total_steps,
         )
         if cfg.train.resume:
-            self.state = Saver.restore(cfg.train.resume, self.state)
+            restored = Saver.restore(cfg.train.resume, self.state)
+            if cfg.train.finetune:
+                # --ft semantics: weights only, fresh optimizer/schedule.
+                self.state = self.state.replace(
+                    params=restored.params, batch_stats=restored.batch_stats
+                )
+            else:
+                self.state = restored
         self.state = replicate(self.state, self.mesh)
-        self.loss_fn = build_seg_loss("ce", cfg.data.ignore_index)
+        class_weights = None
+        if cfg.optim.use_balanced_weights:
+            from zs3_tpu.utils.losses import compute_dataset_class_weights
+
+            cache = f"{cfg.train.checkpoint_dir}/{cfg.data.dataset}_class_hist.npy"
+            class_weights = compute_dataset_class_weights(
+                self.train_loader.dataset,
+                num_classes,
+                cfg.data.ignore_index,
+                cache_path=cache,
+            )
+        self.loss_fn = build_seg_loss(
+            cfg.optim.loss_type, cfg.data.ignore_index, class_weights
+        )
         self.train_step = make_train_step(self.loss_fn, cfg.train.donate_state)
         self.eval_step = make_eval_step(num_classes, cfg.data.ignore_index)
         self.num_classes = num_classes

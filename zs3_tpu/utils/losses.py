@@ -93,3 +93,33 @@ def calculate_class_weights(
     hist = histogram.astype(jnp.float32)
     freq = hist / jnp.maximum(jnp.sum(hist), 1.0)
     return 1.0 / jnp.log(smooth + freq)
+
+
+def compute_dataset_class_weights(
+    dataset,
+    num_classes: int,
+    ignore_index: int = 255,
+    cache_path: Optional[str] = None,
+):
+    """One-pass label histogram over a dataset -> balanced class weights.
+
+    Mirrors reference calculate_weigths_labels: iterate every label map
+    once, histogram pixel counts, cache as .npy, and weight classes by
+    1/ln(1.02 + freq).  Returns a jnp (num_classes,) array.
+    """
+    import os
+
+    import numpy as np
+
+    if cache_path is not None and os.path.exists(cache_path):
+        hist = np.load(cache_path)
+    else:
+        hist = np.zeros((num_classes,), np.int64)
+        for i in range(len(dataset)):
+            label = np.asarray(dataset[i]["label"]).ravel()
+            valid = (label != ignore_index) & (label < num_classes)
+            hist += np.bincount(label[valid], minlength=num_classes)
+        if cache_path is not None:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.save(cache_path, hist)
+    return calculate_class_weights(jnp.asarray(hist))
