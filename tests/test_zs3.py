@@ -120,3 +120,23 @@ def test_gmmn_trainer_pallas_backend(zs3_cfg):
     stats = t.train_epoch(0)
     assert np.isfinite(stats["mmd"]) and stats["mmd"] > 0
     assert np.isfinite(stats["cls_ce"])
+
+
+def test_gmmn_resume_roundtrip(zs3_cfg):
+    """GMMN checkpoints resume generator+classifier states exactly."""
+    import dataclasses
+
+    from zs3_tpu.utils.saver import Saver
+
+    t = GMMNTrainer(zs3_cfg)
+    t.train_epoch(0)
+    t.validate(0)
+    ckpt = Saver.latest_checkpoint(t.saver.directory)
+    cfg2 = zs3_cfg.replace(
+        train=dataclasses.replace(zs3_cfg.train, gmmn_resume=ckpt)
+    )
+    t2 = GMMNTrainer(cfg2)
+    assert int(jax.device_get(t2.gen_state.step)) == 2
+    a = jax.tree.leaves(jax.device_get(t.cls_state.params))[0]
+    b = jax.tree.leaves(jax.device_get(t2.cls_state.params))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

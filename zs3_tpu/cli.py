@@ -57,6 +57,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--resume", type=str)
     p.add_argument("--ft", action="store_true", default=None,
                    help="fine-tune: load weights only, fresh optimizer")
+    p.add_argument("--gmmn-resume", type=str,
+                   help="GMMN-stage checkpoint to resume or evaluate")
     p.add_argument("--checkname", type=str)
     p.add_argument("--checkpoint-dir", type=str)
     p.add_argument("--eval-interval", type=int)
@@ -129,6 +131,7 @@ def build_config(args: argparse.Namespace) -> Config:
             steps_per_epoch=args.steps_per_epoch,
             seed=args.seed,
             resume=args.resume,
+            gmmn_resume=args.gmmn_resume,
             finetune=args.ft,
             checkname=args.checkname,
             checkpoint_dir=args.checkpoint_dir,
@@ -143,7 +146,10 @@ def main(argv=None):
         prog="zs3_tpu", description="TPU-native zero-shot semantic segmentation"
     )
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in ("train-seen", "train-gmmn", "train-zs5", "evaluate", "show-config"):
+    for name in (
+        "train-seen", "train-gmmn", "train-zs5",
+        "evaluate", "evaluate-gmmn", "show-config",
+    ):
         p = sub.add_parser(name)
         _add_common(p)
     args = parser.parse_args(argv)
@@ -173,6 +179,10 @@ def main(argv=None):
 
         trainer = SeenTrainer(cfg)
         result = trainer.validate(epoch=0)
+    elif args.command == "evaluate-gmmn":
+        from zs3_tpu.train.gmmn import GMMNTrainer
+
+        result = GMMNTrainer(cfg).validate(epoch=0)
     else:  # pragma: no cover
         raise AssertionError(args.command)
 

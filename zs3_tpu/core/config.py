@@ -111,6 +111,8 @@ class TrainConfig:
     checkpoint_dir: str = "run"
     checkname: str = "deeplab-resnet101"
     resume: Optional[str] = None
+    # GMMN-stage checkpoint ({"gen","cls"} payload) to resume/evaluate.
+    gmmn_resume: Optional[str] = None
     # Fine-tune semantics (reference --ft): load params/BN stats from the
     # checkpoint but restart the optimizer state, step count and schedule.
     finetune: bool = False

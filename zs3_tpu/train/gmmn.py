@@ -301,24 +301,27 @@ class GMMNTrainer:
                 jnp.zeros((1, cfg.gmmn.embed_dim)),
                 jnp.zeros((1, cfg.gmmn.noise_dim)),
             )
-        self.gen_state = replicate(
-            GenState.create(
-                apply_fn=self.generator.apply,
-                params=gen_vars["params"],
-                tx=optax.adam(cfg.optim.gmmn_lr),
-            ),
-            self.mesh,
+        gen_state = GenState.create(
+            apply_fn=self.generator.apply,
+            params=gen_vars["params"],
+            tx=optax.adam(cfg.optim.gmmn_lr),
         )
         # Classifier: start from the trunk's trained classifier
         cls_params = extract_classifier(seg_variables)
-        self.cls_state = replicate(
-            ClsState.create(
-                apply_fn=None,
-                params=cls_params,
-                tx=optax.adam(cfg.optim.classifier_lr),
-            ),
-            self.mesh,
+        cls_state = ClsState.create(
+            apply_fn=None,
+            params=cls_params,
+            tx=optax.adam(cfg.optim.classifier_lr),
         )
+        # Resume a GMMN-stage checkpoint ({"gen","cls"} payload written by
+        # validate()) to continue generator training or evaluate zero-shot.
+        if cfg.train.gmmn_resume:
+            restored = Saver.restore(
+                cfg.train.gmmn_resume, {"gen": gen_state, "cls": cls_state}
+            )
+            gen_state, cls_state = restored["gen"], restored["cls"]
+        self.gen_state = replicate(gen_state, self.mesh)
+        self.cls_state = replicate(cls_state, self.mesh)
         self.step_fn = make_zs3_step(
             self.model,
             self.generator,
