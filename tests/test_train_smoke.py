@@ -97,3 +97,20 @@ def test_finetune_resume_resets_step(tiny_cfg):
     )
     full = SeenTrainer(full_cfg)
     assert int(jax.device_get(full.state.step)) == 2  # optimizer state restored
+
+
+def test_device_preprocess_path(tiny_cfg):
+    """uint8 batches + on-device normalize/flip must train equivalently."""
+    import dataclasses
+
+    cfg = tiny_cfg.replace(
+        data=dataclasses.replace(tiny_cfg.data, device_preprocess=True)
+    )
+    trainer = SeenTrainer(cfg)
+    batch = next(iter(trainer.train_loader))
+    assert batch["image"].dtype == np.uint8  # host ships raw bytes
+    stats = trainer.train_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    # eval path still normalizes on host
+    report = trainer.validate(0)
+    assert 0.0 <= report["miou"] <= 1.0

@@ -78,6 +78,9 @@ class DataConfig:
     weak_label_dir: Optional[str] = None
     # Class-embedding .npy path; None -> deterministic fallback embeddings.
     embedding_path: Optional[str] = None
+    # Ship uint8 train batches and normalize+flip on device inside the jit
+    # step (4x less host->device traffic; SURVEY §7 device-side prep).
+    device_preprocess: bool = False
     num_workers: int = 4
     shuffle_seed: int = 0
 

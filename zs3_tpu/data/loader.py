@@ -157,7 +157,10 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
-    train_tf = lambda s, rng: T.train_transform(
+    host_tf = (
+        T.train_transform_spatial if cfg.device_preprocess else T.train_transform
+    )
+    train_tf = lambda s, rng: host_tf(
         s, rng, cfg.base_size, cfg.crop_size, cfg.ignore_index
     )
     val_tf = lambda s: T.eval_transform(s, cfg.crop_size)

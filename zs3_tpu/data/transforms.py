@@ -153,6 +153,26 @@ def train_transform(
     return normalize(sample)
 
 
+def train_transform_spatial(
+    sample: Sample,
+    rng: np.random.Generator,
+    base_size: int = 513,
+    crop_size: int = 513,
+    fill: int = 255,
+) -> Dict[str, np.ndarray]:
+    """Host half of the device-preprocess split: shape-changing ops only
+    (scale/crop/blur) — the batch ships as uint8 (4x less host->device
+    traffic) and normalize+flip run on device inside the jit step
+    (flip commutes with the other augmentations in distribution).
+    """
+    sample = random_scale_crop(sample, rng, base_size, crop_size, fill)
+    sample = random_gaussian_blur(sample, rng)
+    return {
+        "image": sample["image"].astype(np.uint8),
+        "label": sample["label"].astype(np.int32),
+    }
+
+
 def eval_transform(sample: Sample, crop_size: int = 513) -> Dict[str, np.ndarray]:
     """The reference val-time composition: FixScaleCrop -> Normalize."""
     sample = fix_scale_crop(sample, crop_size)

@@ -141,15 +141,26 @@ def make_zs3_step(
         batch: Dict[str, jax.Array],
         rng: jax.Array,
     ):
-        r_sample, r_noise1, r_noise2 = jax.random.split(
-            jax.random.fold_in(rng, gen_state.step), 3
+        r_sample, r_noise1, r_noise2, r_flip = jax.random.split(
+            jax.random.fold_in(rng, gen_state.step), 4
         )
+        images, batch_labels = batch["image"], batch["label"]
+        if cfg.data.device_preprocess:
+            from zs3_tpu.data.transforms import (
+                batched_normalize_device,
+                batched_random_flip_device,
+            )
+
+            images = batched_normalize_device(images)
+            images, batch_labels = batched_random_flip_device(
+                images, batch_labels, r_flip
+            )
         # 1. frozen-trunk feature extraction (eval-mode BN, no dropout)
         feats = model.apply(
-            trunk_variables, batch["image"], train=False, method="forward_features"
+            trunk_variables, images, train=False, method="forward_features"
         )
         b, h, w, d = feats.shape
-        labels = downsample_labels(batch["label"], (h, w))
+        labels = downsample_labels(batch_labels, (h, w))
         flat_feats = feats.reshape(-1, d).astype(jnp.float32)
         flat_labels = labels.reshape(-1)
         real, real_mask = sample_class_pixels(
@@ -157,7 +168,7 @@ def make_zs3_step(
         )
         # graph conditioning from batch label adjacency
         if graph_context:
-            adj = class_adjacency(batch["label"], num_classes)
+            adj = class_adjacency(batch_labels, num_classes)
             neighbors, nb_mask = neighbor_lists_from_adjacency(adj, max_nb)
         else:
             neighbors = jnp.zeros((num_classes, max_nb), jnp.int32)
@@ -341,6 +352,9 @@ class GMMNTrainer:
             cfg,
             keep=cfg.train.keep_checkpoints,
         )
+        from zs3_tpu.utils.logging import MetricLogger
+
+        self.logger = MetricLogger(self.saver.directory)
         self.best_hiou = 0.0
         self.steps_per_epoch = cfg.train.steps_per_epoch or len(self.train_loader)
 
@@ -373,12 +387,14 @@ class GMMNTrainer:
             )
             mmds.append(out["mmd"])
             ces.append(out["cls_ce"])
-        return {
+        stats = {
             "epoch": epoch,
             "mmd": float(jnp.mean(jnp.stack(mmds))) if mmds else float("nan"),
             "cls_ce": float(jnp.mean(jnp.stack(ces))) if ces else float("nan"),
             "epoch_seconds": time.time() - t0,
         }
+        self.logger.log(int(jax.device_get(self.gen_state.step)), stats, prefix="train")
+        return stats
 
     def validate(self, epoch: int) -> Dict[str, float]:
         evaluator = Evaluator(
@@ -392,6 +408,9 @@ class GMMNTrainer:
             )
             evaluator.add_confusion(conf)
         report = evaluator.compute()
+        self.logger.log(
+            int(jax.device_get(self.gen_state.step)), report.as_dict(), prefix="val"
+        )
         h = report.harmonic_miou or 0.0
         is_best = h > self.best_hiou
         if is_best:

@@ -40,23 +40,35 @@ from zs3_tpu.utils.losses import build_seg_loss
 from zs3_tpu.utils.saver import Saver
 
 
-def make_train_step(loss_fn: Callable, donate: bool = True):
+def make_train_step(
+    loss_fn: Callable, donate: bool = True, device_preprocess: bool = False
+):
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         state: SegTrainState, batch: Dict[str, jax.Array], rng: jax.Array
     ) -> Tuple[SegTrainState, Dict[str, jax.Array]]:
         step_rng = jax.random.fold_in(rng, state.step)
+        images, labels = batch["image"], batch["label"]
+        if device_preprocess:
+            from zs3_tpu.data.transforms import (
+                batched_normalize_device,
+                batched_random_flip_device,
+            )
+
+            flip_rng, step_rng = jax.random.split(step_rng)
+            images = batched_normalize_device(images)
+            images, labels = batched_random_flip_device(images, labels, flip_rng)
 
         def compute_loss(params):
             logits, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                images,
                 train=True,
                 deterministic=False,
                 rngs={"dropout": step_rng},
                 mutable=["batch_stats"],
             )
-            loss = loss_fn(logits, batch["label"])
+            loss = loss_fn(logits, labels)
             return loss, (logits, updates)
 
         (loss, (_, updates)), grads = jax.value_and_grad(
@@ -134,7 +146,9 @@ class SeenTrainer:
         self.loss_fn = build_seg_loss(
             cfg.optim.loss_type, cfg.data.ignore_index, class_weights
         )
-        self.train_step = make_train_step(self.loss_fn, cfg.train.donate_state)
+        self.train_step = make_train_step(
+            self.loss_fn, cfg.train.donate_state, cfg.data.device_preprocess
+        )
         self.eval_step = make_eval_step(num_classes, cfg.data.ignore_index)
         self.num_classes = num_classes
         self.saver = saver or Saver(
@@ -144,6 +158,9 @@ class SeenTrainer:
             cfg,
             keep=cfg.train.keep_checkpoints,
         )
+        from zs3_tpu.utils.logging import MetricLogger
+
+        self.logger = MetricLogger(self.saver.directory)
         self.best_metric = 0.0
         self.history = []
 
@@ -173,6 +190,7 @@ class SeenTrainer:
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         dt = time.time() - t0
         stats = {"epoch": epoch, "train_loss": loss, "epoch_seconds": dt}
+        self.logger.log(int(jax.device_get(self.state.step)), stats, prefix="train")
         self.history.append(stats)
         return stats
 
@@ -186,6 +204,9 @@ class SeenTrainer:
             conf = self.eval_step(self.state, self._device_batch(batch, eval=True))
             evaluator.add_confusion(conf)
         report = evaluator.compute()
+        self.logger.log(
+            int(jax.device_get(self.state.step)), report.as_dict(), prefix="val"
+        )
         metric = report.miou
         is_best = metric > self.best_metric
         if is_best:
