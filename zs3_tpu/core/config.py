@@ -33,6 +33,8 @@ class ModelConfig:
     # Cross-replica BN axis; None relies on jit global-batch semantics.
     bn_axis_name: Optional[str] = None
     dropout: bool = True
+    # Rematerialize backbone blocks (large-batch training at 513^2).
+    remat: bool = False
 
 
 @dataclass(frozen=True)

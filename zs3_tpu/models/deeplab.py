@@ -29,11 +29,15 @@ from zs3_tpu.models.resnet import ResNet50, ResNet101
 from zs3_tpu.ops.resize import resize_bilinear
 
 
-def _build_backbone(name: str, output_stride: int, bn_kw, dtype):
+def _build_backbone(name: str, output_stride: int, bn_kw, dtype, remat=False):
     if name in ("resnet", "resnet101"):
-        return ResNet101(output_stride=output_stride, dtype=dtype, **bn_kw)
+        return ResNet101(
+            output_stride=output_stride, dtype=dtype, remat=remat, **bn_kw
+        )
     if name == "resnet50":
-        return ResNet50(output_stride=output_stride, dtype=dtype, **bn_kw)
+        return ResNet50(
+            output_stride=output_stride, dtype=dtype, remat=remat, **bn_kw
+        )
     if name == "xception":
         from zs3_tpu.models.xception import AlignedXception
 
@@ -71,6 +75,7 @@ class DeepLab(nn.Module):
     bn_axis_name: Optional[str] = None
     dropout: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self):
         bn_kw = dict(
@@ -79,7 +84,7 @@ class DeepLab(nn.Module):
             bn_axis_name=self.bn_axis_name,
         )
         self.encoder = _build_backbone(
-            self.backbone, self.output_stride, bn_kw, self.dtype
+            self.backbone, self.output_stride, bn_kw, self.dtype, self.remat
         )
         # DRN backbones feed ASPP at os8 regardless of config.
         aspp_os = 8 if self.backbone == "drn" else self.output_stride
@@ -147,4 +152,5 @@ def build_deeplab(cfg: ModelConfig) -> DeepLab:
         bn_axis_name=cfg.bn_axis_name,
         dropout=cfg.dropout,
         dtype=jnp.dtype(cfg.compute_dtype),
+        remat=cfg.remat,
     )

@@ -84,6 +84,11 @@ class ResNetAtrous(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     stem_width: int = 64
+    # Rematerialize each bottleneck in the backward pass: trades ~30%
+    # extra forward FLOPs for O(depth) less activation memory, unlocking
+    # large-batch training at 513^2 (without it XLA's automatic remat
+    # search explodes compile time past B16 on a 16GB chip).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -119,6 +124,9 @@ class ResNetAtrous(nn.Module):
 
         low_level = None
         planes_per_stage = (64, 128, 256, 512)
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
         for stage in range(4):
             planes = planes_per_stage[stage]
             for block in range(self.layers[stage]):
@@ -129,7 +137,7 @@ class ResNetAtrous(nn.Module):
                     dilation = dilations[stage] * grid
                 else:
                     dilation = dilations[stage]
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=strides[stage] if first else 1,
                     dilation=dilation,
@@ -139,7 +147,7 @@ class ResNetAtrous(nn.Module):
                     bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
-                )(x, train=train)
+                )(x, train)
             if stage == 0:
                 low_level = x  # 256ch @ os4
         return x, low_level

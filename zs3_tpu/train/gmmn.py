@@ -216,7 +216,10 @@ def make_zs3_step(
                 + cp["bias"]
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, cls_labels[..., None], axis=-1)[..., 0]
+            # row c's label is c: select the diagonal via a one-hot
+            # contraction (take_along_axis gathers are slow on TPU).
+            eye = jnp.eye(num_classes, dtype=logp.dtype)
+            nll = -jnp.einsum("cpk,ck->cp", logp, eye)
             return jnp.sum(nll * cls_mask) / jnp.maximum(jnp.sum(cls_mask), 1.0)
 
         ce, cls_grads = jax.value_and_grad(cls_loss_fn)(cls_state.params)
