@@ -114,3 +114,20 @@ def test_device_preprocess_path(tiny_cfg):
     # eval path still normalizes on host
     report = trainer.validate(0)
     assert 0.0 <= report["miou"] <= 1.0
+
+
+def test_tensorboard_panels(tiny_cfg, tmp_path):
+    """TB-enabled validation writes scalar + image events without error."""
+    import dataclasses
+    import glob
+    import os
+
+    cfg = tiny_cfg.replace(
+        train=dataclasses.replace(tiny_cfg.train, tensorboard=True)
+    )
+    trainer = SeenTrainer(cfg)
+    trainer.train_epoch(0)
+    trainer.validate(0)
+    tb_files = glob.glob(os.path.join(trainer.saver.directory, "tb", "*"))
+    assert tb_files, "no tensorboard event files written"
+    assert os.path.exists(os.path.join(trainer.saver.directory, "metrics.jsonl"))

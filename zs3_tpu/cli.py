@@ -25,11 +25,6 @@ from typing import Optional
 
 from zs3_tpu.core.config import (
     Config,
-    DataConfig,
-    GMMNConfig,
-    ModelConfig,
-    OptimConfig,
-    TrainConfig,
     context_unseen_split,
     voc_unseen_split,
 )

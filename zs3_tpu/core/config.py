@@ -123,6 +123,9 @@ class TrainConfig:
     finetune: bool = False
     seed: int = 0
     log_every: int = 20
+    # TensorBoard scalars + image panels (reference TensorboardSummary.
+    # visualize_image); JSONL metrics are always written regardless.
+    tensorboard: bool = False
     keep_checkpoints: int = 3
     # Mesh axes: (name, size). Size -1 = all remaining devices.
     mesh_axes: Tuple[Tuple[str, int], ...] = (("data", -1),)

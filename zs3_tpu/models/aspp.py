@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from zs3_tpu.models.layers import BatchNorm, Conv, ConvBN, global_avg_pool
+from zs3_tpu.models.layers import ConvBN, global_avg_pool
 
 
 class ASPP(nn.Module):

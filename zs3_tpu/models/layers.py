@@ -16,7 +16,7 @@ pass `axis_name="data"` and flax's BatchNorm pmeans the statistics.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

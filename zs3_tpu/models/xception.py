@@ -12,7 +12,7 @@ exit dilations (1, 2); os8: entry stride 1, middle dilation 2, exit
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -18,19 +18,13 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.core.mesh import (
-    batch_sharding,
-    make_mesh,
-    pad_eval_batch,
-    replicate,
-    shard_batch,
-)
+from zs3_tpu.core.mesh import make_mesh, pad_eval_batch, replicate, shard_batch
 from zs3_tpu.data.loader import make_data_loader
 from zs3_tpu.metrics.evaluator import Evaluator
 from zs3_tpu.models.deeplab import build_deeplab
@@ -160,7 +154,9 @@ class SeenTrainer:
         )
         from zs3_tpu.utils.logging import MetricLogger
 
-        self.logger = MetricLogger(self.saver.directory)
+        self.logger = MetricLogger(
+            self.saver.directory, tensorboard=cfg.train.tensorboard
+        )
         self.best_metric = 0.0
         self.history = []
 
@@ -200,9 +196,14 @@ class SeenTrainer:
             self.cfg.data.ignore_index,
             self.cfg.data.unseen_classes,
         )
+        panel_batch = None
         for batch in self.val_loader:
+            if panel_batch is None:
+                panel_batch = batch
             conf = self.eval_step(self.state, self._device_batch(batch, eval=True))
             evaluator.add_confusion(conf)
+        if self.cfg.train.tensorboard and panel_batch is not None:
+            self._log_panels(panel_batch)
         report = evaluator.compute()
         self.logger.log(
             int(jax.device_get(self.state.step)), report.as_dict(), prefix="val"
@@ -219,6 +220,36 @@ class SeenTrainer:
             extra={"epoch": epoch, **report.as_dict()},
         )
         return report.as_dict()
+
+    def _log_panels(self, batch):
+        """Input / GT / prediction color panels (reference
+        TensorboardSummary.visualize_image)."""
+        import numpy as np
+
+        from zs3_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from zs3_tpu.utils.viz import decode_segmap
+
+        @jax.jit
+        def predict(state, images):
+            logits = state.apply_fn(state.eval_variables(), images, train=False)
+            return jnp.argmax(logits, axis=-1)
+
+        dev = self._device_batch(batch, eval=True)
+        pred = np.asarray(jax.device_get(predict(self.state, dev["image"])))[0]
+        img = np.asarray(batch["image"][0])
+        img = np.clip((img * IMAGENET_STD + IMAGENET_MEAN) * 255, 0, 255).astype(
+            np.uint8
+        )
+        gt = np.asarray(batch["label"][0])
+        step = int(jax.device_get(self.state.step))
+        self.logger.log_images(
+            step,
+            {
+                "val/input": img,
+                "val/ground_truth": decode_segmap(gt, self.num_classes),
+                "val/prediction": decode_segmap(pred, self.num_classes),
+            },
+        )
 
     def fit(self) -> Dict[str, float]:
         last_report: Dict[str, float] = {}

@@ -25,7 +25,7 @@ used as targets, only their image-level presence).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ import flax
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from zs3_tpu.core.config import Config

@@ -11,9 +11,6 @@ here schedules are pure functions of the step folded into the jit graph.
 
 from __future__ import annotations
 
-import math
-from typing import Callable
-
 import optax
 
 
