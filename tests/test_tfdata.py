@@ -1,0 +1,88 @@
+"""tf.data pipeline: shapes, dtypes, augmentation invariants."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from zs3_tpu.core.config import DataConfig
+
+tf = pytest.importorskip("tensorflow")
+
+
+@pytest.fixture()
+def voc_tree(tmp_path):
+    base = tmp_path / "VOC2012"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "SegmentationClass").mkdir()
+    (base / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = [f"img{i:03d}" for i in range(6)]
+    for name in names:
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        ).save(base / "JPEGImages" / f"{name}.jpg")
+        lbl = np.zeros((40, 50), np.uint8)
+        lbl[5:15, 5:15] = 3
+        Image.fromarray(lbl).save(base / "SegmentationClass" / f"{name}.png")
+    with open(base / "ImageSets" / "Segmentation" / "train.txt", "w") as f:
+        f.write("\n".join(names[:4]) + "\n")
+    with open(base / "ImageSets" / "Segmentation" / "val.txt", "w") as f:
+        f.write("\n".join(names[4:]) + "\n")
+    return tmp_path
+
+
+def test_tfdata_pipeline_batches(voc_tree):
+    from zs3_tpu.data.tfdata import TFDataLoader
+    from zs3_tpu.data.voc import VOCSegmentation
+
+    cfg = DataConfig(
+        dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+        batch_size=2,
+    )
+    ds = VOCSegmentation(str(voc_tree), "train")
+    loader = TFDataLoader(ds, cfg, seed=0)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 33, 33, 3)
+    assert b["image"].dtype == np.float32
+    assert b["label"].shape == (2, 33, 33)
+    assert b["label"].dtype == np.int32
+    # labels only contain known classes + ignore fill
+    vals = set(np.unique(np.concatenate([x["label"].ravel() for x in batches])))
+    assert vals <= {0, 3, 255}
+    # normalization applied: values roughly in [-3, 3]
+    assert abs(b["image"]).max() < 4.0
+
+
+def test_tfdata_epoch_reshuffle(voc_tree):
+    from zs3_tpu.data.tfdata import TFDataLoader
+    from zs3_tpu.data.voc import VOCSegmentation
+
+    cfg = DataConfig(
+        dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+        batch_size=2,
+    )
+    loader = TFDataLoader(VOCSegmentation(str(voc_tree), "train"), cfg)
+    loader.set_epoch(0)
+    a = np.concatenate([b["image"] for b in loader])
+    loader.set_epoch(1)
+    b = np.concatenate([x["image"] for x in loader])
+    assert not np.allclose(a, b)
+
+
+def test_make_data_loader_tfdata(voc_tree):
+    from zs3_tpu.data.loader import make_data_loader
+
+    cfg = DataConfig(
+        dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+        batch_size=2, eval_batch_size=2, input_pipeline="tfdata",
+        num_workers=1,
+    )
+    train, val, n = make_data_loader(cfg)
+    assert n == 21
+    batch = next(iter(train))
+    assert batch["image"].shape == (2, 33, 33, 3)
+    vb = next(iter(val))
+    assert vb["image"].shape == (2, 33, 33, 3)

@@ -83,6 +83,9 @@ class DataConfig:
     # Ship uint8 train batches and normalize+flip on device inside the jit
     # step (4x less host->device traffic; SURVEY §7 device-side prep).
     device_preprocess: bool = False
+    # Train input pipeline: 'python' (threaded, dependency-light) or
+    # 'tfdata' (tf.data parallel decode + autotuned prefetch).
+    input_pipeline: str = "python"
     num_workers: int = 4
     shuffle_seed: int = 0
 

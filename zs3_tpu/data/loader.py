@@ -163,6 +163,22 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
     train_tf = lambda s, rng: host_tf(
         s, rng, cfg.base_size, cfg.crop_size, cfg.ignore_index
     )
+
+    if cfg.input_pipeline == "tfdata" and cfg.dataset in ("pascal", "context"):
+        from zs3_tpu.data.tfdata import TFDataLoader
+
+        train_loader = TFDataLoader(train_ds, cfg, seed=cfg.shuffle_seed)
+        val_loader = DataLoader(
+            val_ds,
+            cfg.eval_batch_size,
+            transform=lambda s: T.eval_transform(s, cfg.crop_size),
+            shuffle=False,
+            drop_last=False,
+            seed=cfg.shuffle_seed,
+            num_workers=cfg.num_workers,
+            transform_needs_rng=False,
+        )
+        return train_loader, val_loader, num_classes
     val_tf = lambda s: T.eval_transform(s, cfg.crop_size)
 
     train_loader = DataLoader(
