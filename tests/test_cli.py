@@ -66,3 +66,23 @@ def test_cli_train_end_to_end(tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "train_loss" in result and "miou" in result
+
+
+def test_infer_command(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+
+    img = tmp_path / "scene.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    ).save(img)
+    out = tmp_path / "preds"
+    rc = main(
+        ["infer", str(img), "--output", str(out), "--dataset", "synthetic",
+         "--backbone", "resnet50", "--crop-size", "65", "--base-size", "65",
+         "--compute-dtype", "float32"]
+    )
+    assert rc == 0
+    raw = np.asarray(Image.open(out / "scene.png"))
+    assert raw.shape == (40, 50)
+    assert (out / "scene_color.png").exists()

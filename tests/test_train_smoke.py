@@ -131,3 +131,37 @@ def test_tensorboard_panels(tiny_cfg, tmp_path):
     tb_files = glob.glob(os.path.join(trainer.saver.directory, "tb", "*"))
     assert tb_files, "no tensorboard event files written"
     assert os.path.exists(os.path.join(trainer.saver.directory, "metrics.jsonl"))
+
+
+def test_resume_is_bit_deterministic(tiny_cfg):
+    """Train 2 epochs straight vs 1 epoch -> checkpoint -> resume -> 1
+    epoch: identical parameters (step-indexed RNG + seeded epoch order).
+    """
+    import dataclasses
+    import jax
+
+    from zs3_tpu.utils.saver import Saver
+
+    base = dataclasses.replace(
+        tiny_cfg.train, epochs=2, steps_per_epoch=2, eval_interval=100
+    )
+
+    # straight-through run
+    t1 = SeenTrainer(tiny_cfg.replace(train=base))
+    t1.train_epoch(0)
+    t1.train_epoch(1)
+
+    # checkpointed + resumed run
+    t2 = SeenTrainer(tiny_cfg.replace(train=base))
+    t2.train_epoch(0)
+    t2.saver.save_checkpoint(t2.state, 2, 0.0)
+    ckpt = Saver.latest_checkpoint(t2.saver.directory)
+    t3 = SeenTrainer(
+        tiny_cfg.replace(train=dataclasses.replace(base, resume=ckpt))
+    )
+    t3.train_epoch(1)
+
+    a = jax.tree.leaves(jax.device_get(t1.state.params))
+    b = jax.tree.leaves(jax.device_get(t3.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -143,10 +143,14 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     for name in (
         "train-seen", "train-gmmn", "train-zs5",
-        "evaluate", "evaluate-gmmn", "show-config",
+        "evaluate", "evaluate-gmmn", "infer", "show-config",
     ):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "infer":
+            p.add_argument("images", nargs="+", help="image files to segment")
+            p.add_argument("--output", type=str, default="predictions")
+            p.add_argument("--no-color", action="store_true")
     args = parser.parse_args(argv)
     cfg = build_config(args)
 
@@ -178,6 +182,14 @@ def main(argv=None):
         from zs3_tpu.train.gmmn import GMMNTrainer
 
         result = GMMNTrainer(cfg).validate(epoch=0)
+    elif args.command == "infer":
+        from zs3_tpu.train.predict import Predictor
+
+        predictor = Predictor(cfg)
+        written = predictor.predict_files(
+            args.images, args.output, colorize=not args.no_color
+        )
+        result = {"written": len(written), "output": args.output}
     else:  # pragma: no cover
         raise AssertionError(args.command)
 
