@@ -1,0 +1,103 @@
+"""Fused bilinear-upsample + argmax Pallas kernel (eval path).
+
+Validation and ZS5 pseudo-labeling compute
+``argmax(resize_bilinear(logits, 513), -1)``: XLA materializes the
+(B, 513, 513, C) f32 logits in HBM (354 MB at B16/C21) just to reduce
+them away.  This kernel fuses the chain per output-row tile: two MXU
+matmuls against the interpolation matrices followed by an unrolled
+argmax over C, so the full-resolution logits never exist outside VMEM.
+
+Semantics match `jnp.argmax(resize_bilinear(x, size, align_corners),
+-1)` exactly (first-max tie-breaking, f32 HIGHEST-precision matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zs3_tpu.ops.resize import _linear_matrix_np
+
+_TH = 32  # output rows per grid step
+
+
+def _kernel(wh_ref, ww_ref, logits_ref, out_ref, *, num_classes):
+    """logits arrive channels-major (1, C, HI, WI) so each class plane is
+    a clean 2-D slice (Mosaic cannot flatten a 21-wide minor dim)."""
+    wh = wh_ref[...]  # (TH, HI)
+    ww = ww_ref[...]  # (WO, WI)
+
+    def upsample_class(cls):
+        plane = logits_ref[0, cls]  # (HI, WI)
+        a = jax.lax.dot_general(
+            wh, plane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TH, WI)
+        return jax.lax.dot_general(
+            a, ww, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TH, WO)
+
+    best_val = upsample_class(0)
+    best_idx = jnp.zeros_like(best_val, dtype=jnp.int32)
+    for cls in range(1, num_classes):
+        val = upsample_class(cls)
+        better = val > best_val  # strict: first max wins, like jnp.argmax
+        best_val = jnp.where(better, val, best_val)
+        best_idx = jnp.where(better, cls, best_idx)
+    out_ref[0] = best_idx
+
+
+def upsample_argmax(
+    logits: jax.Array,
+    size: Tuple[int, int],
+    align_corners: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, HI, WI, C) logits -> (B, HO, WO) int32 argmax at `size`."""
+    bsz, hi, wi, c = logits.shape
+    ho, wo = size
+    wh = jnp.asarray(_linear_matrix_np(hi, ho, align_corners))
+    ww = jnp.asarray(_linear_matrix_np(wi, wo, align_corners))
+    # channels-major layout so the kernel slices (HI, WI) planes
+    logits_cm = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+    grid = (bsz, pl.cdiv(ho, _TH))
+    return pl.pallas_call(
+        functools.partial(_kernel, num_classes=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TH, hi), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wo, wi), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, c, hi, wi), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _TH, wo), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho, wo), jnp.int32),
+        interpret=interpret,
+    )(wh.astype(jnp.float32), ww.astype(jnp.float32), logits_cm)
+
+
+def predict_labels(
+    logits: jax.Array,
+    size: Tuple[int, int],
+    align_corners: bool = True,
+) -> jax.Array:
+    """Dispatch: Pallas on TPU, jnp oracle elsewhere (identical output)."""
+    if jax.default_backend() == "cpu":
+        from zs3_tpu.ops.resize import resize_bilinear
+
+        return jnp.argmax(
+            resize_bilinear(logits.astype(jnp.float32), size, align_corners),
+            axis=-1,
+        ).astype(jnp.int32)
+    return upsample_argmax(logits, size, align_corners)

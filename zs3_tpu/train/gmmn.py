@@ -230,11 +230,18 @@ def make_zs3_step(
 
 
 def make_zs3_eval_step(model, num_classes: int, ignore_index: int):
+    from zs3_tpu.ops.pallas_eval import predict_labels
+
     @jax.jit
     def eval_step(trunk_variables, cls_params, batch):
         variables = splice_classifier(trunk_variables, cls_params)
-        logits = model.apply(variables, batch["image"], train=False)
-        pred = jnp.argmax(logits, axis=-1)
+        feats = model.apply(
+            variables, batch["image"], train=False, method="forward_features"
+        )
+        logits = model.apply(variables, feats, method="classify")
+        pred = predict_labels(
+            logits.astype(jnp.float32), batch["image"].shape[1:3]
+        )
         return confusion_matrix(batch["label"], pred, num_classes, ignore_index)
 
     return eval_step

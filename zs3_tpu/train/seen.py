@@ -76,14 +76,22 @@ def make_train_step(
 
 
 def make_eval_step(num_classes: int, ignore_index: int = 255):
+    from zs3_tpu.ops.pallas_eval import predict_labels
+
     @jax.jit
     def eval_step(
         state: SegTrainState, batch: Dict[str, jax.Array]
     ) -> jax.Array:
-        logits = state.apply_fn(
-            state.eval_variables(), batch["image"], train=False
+        variables = state.eval_variables()
+        # classify at the feature grid, then the fused Pallas
+        # upsample+argmax (full-res logits never hit HBM on TPU).
+        feats = state.apply_fn(
+            variables, batch["image"], train=False, method="forward_features"
         )
-        pred = jnp.argmax(logits, axis=-1)
+        logits = state.apply_fn(variables, feats, method="classify")
+        pred = predict_labels(
+            logits.astype(jnp.float32), batch["image"].shape[1:3]
+        )
         return confusion_matrix(batch["label"], pred, num_classes, ignore_index)
 
     return eval_step

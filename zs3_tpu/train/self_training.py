@@ -38,15 +38,26 @@ from zs3_tpu.train.gmmn import GMMNTrainer, splice_classifier
 
 
 def make_pseudo_label_step(model, num_classes: int):
+    from zs3_tpu.ops.pallas_eval import predict_labels
+
     @jax.jit
     def step(variables, image, allowed_mask):
         """image (1,S,S,3) normalized; allowed_mask (C,) 1=class allowed.
 
-        Returns restricted argmax (1,S,S)."""
-        logits = model.apply(variables, image, train=False)
+        Returns restricted argmax (1,S,S).  Channel masking commutes with
+        the (channelwise, convex) bilinear upsample, so the restriction
+        applies at the feature grid and the fused upsample+argmax kernel
+        handles the rest.
+        """
+        feats = model.apply(
+            variables, image, train=False, method="forward_features"
+        )
+        logits = model.apply(variables, feats, method="classify").astype(
+            jnp.float32
+        )
         neg = jnp.finfo(jnp.float32).min
         restricted = jnp.where(allowed_mask[None, None, None, :] > 0, logits, neg)
-        return jnp.argmax(restricted, axis=-1).astype(jnp.int32)
+        return predict_labels(restricted, image.shape[1:3])
 
     return step
 
