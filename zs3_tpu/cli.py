@@ -76,6 +76,12 @@ def build_config(args: argparse.Namespace) -> Config:
         kw = {k: v for k, v in kw.items() if v is not None}
         return dataclasses.replace(node, **kw) if kw else node
 
+    # --no-val: never run validation (reference's flag); an effectively
+    # infinite eval interval keeps fit() semantics intact.
+    eval_interval = args.eval_interval
+    if args.no_val:
+        eval_interval = 10**9
+
     unseen: Optional[tuple] = None
     if args.unseen_split is not None:
         if args.unseen_split == 0:
@@ -130,7 +136,7 @@ def build_config(args: argparse.Namespace) -> Config:
             finetune=args.ft,
             checkname=args.checkname,
             checkpoint_dir=args.checkpoint_dir,
-            eval_interval=args.eval_interval,
+            eval_interval=eval_interval,
         ),
     )
     return cfg

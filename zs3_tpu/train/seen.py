@@ -191,6 +191,12 @@ class SeenTrainer:
                 self.state, self._device_batch(batch), self.rng
             )
             losses.append(out["loss"])
+            if self.cfg.train.log_every and (i + 1) % self.cfg.train.log_every == 0:
+                self.logger.log(
+                    int(jax.device_get(self.state.step)),
+                    {"loss": float(out["loss"])},
+                    prefix="train_step",
+                )
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         dt = time.time() - t0
         stats = {"epoch": epoch, "train_loss": loss, "epoch_seconds": dt}
