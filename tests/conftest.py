@@ -24,6 +24,16 @@ import jax  # noqa: E402
 # so the env var alone is not enough — override via jax.config as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles the same small models
+# across many tests/processes; caching cuts wall time dramatically.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_compile_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -92,3 +92,39 @@ def test_neighbor_lists():
     assert list(np.asarray(nb[0])) == [1, 2]
     np.testing.assert_array_equal(np.asarray(mask[0]), [1.0, 1.0])
     assert float(mask[3].sum()) == 0.0  # isolated class
+
+
+def test_per_image_adjacency_isolated_scenes():
+    """Classes adjacent only within their own image, never across."""
+    import jax.numpy as jnp
+
+    from zs3_tpu.ops.sampling import per_image_adjacency
+
+    lbl = np.zeros((2, 4, 4), np.int32)
+    lbl[0, :, :2] = 1
+    lbl[0, :, 2:] = 2  # image 0: 1|2 touch
+    lbl[1, :, :2] = 3
+    lbl[1, :, 2:] = 0  # image 1: 3|0 touch
+    adj = np.asarray(per_image_adjacency(jnp.asarray(lbl), 4))
+    assert adj.shape == (2, 4, 4)
+    assert adj[0, 1, 2] > 0 and adj[0, 3, 0] == 0
+    assert adj[1, 3, 0] > 0 and adj[1, 1, 2] == 0
+
+
+def test_sample_class_pixels_indices(rng):
+    import jax
+
+    feats = jnp.asarray(np.arange(40, dtype=np.float32).reshape(20, 2))
+    labels = jnp.asarray((np.arange(20) % 2).astype(np.int32))
+    gathered, mask, idx = sample_class_pixels(
+        feats, labels, 2, 8, jax.random.key(0), return_indices=True
+    )
+    idx_np = np.asarray(idx)
+    for cls in range(2):
+        valid = np.asarray(mask[cls]) > 0
+        # indices point at pixels of the right class
+        assert np.all(np.asarray(labels)[idx_np[cls][valid]] == cls)
+        # gathered rows equal feats at those indices
+        np.testing.assert_array_equal(
+            np.asarray(gathered[cls])[valid], np.asarray(feats)[idx_np[cls][valid]]
+        )

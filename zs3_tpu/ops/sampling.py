@@ -24,13 +24,16 @@ def sample_class_pixels(
     num_classes: int,
     budget: int,
     rng: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
+    return_indices: bool = False,
+):
     """Sample up to `budget` random pixels of every class.
 
     feats: (N, D) flat pixel features; labels: (N,) int class ids (255 or
     out-of-range = ignore).  Returns (gathered (C, budget, D),
     mask (C, budget)) where mask[c, j] = 1 iff slot j holds a real pixel
-    of class c.  Random *without replacement* within each class.
+    of class c; with return_indices also the flat indices (C, budget)
+    (e.g. to recover which image each pixel came from).  Random *without
+    replacement* within each class.
     """
     n = labels.shape[0]
     u = jax.random.uniform(
@@ -43,6 +46,8 @@ def sample_class_pixels(
     mask = (vals > 0.0).astype(jnp.float32)
     gathered = feats[idx]  # (C, budget, D)
     gathered = gathered * mask[..., None]
+    if return_indices:
+        return gathered, mask, idx
     return gathered, mask
 
 
@@ -52,6 +57,12 @@ def downsample_labels(labels: jax.Array, size: Tuple[int, int]) -> jax.Array:
     from zs3_tpu.ops.resize import resize_nearest
 
     return resize_nearest(labels, size)
+
+
+def per_image_adjacency(labels: jax.Array, num_classes: int) -> jax.Array:
+    """(B, C, C) adjacency counts, one graph per image (the paper's
+    spatial-context priors are per scene, not per batch)."""
+    return jax.vmap(lambda l: class_adjacency(l[None], num_classes))(labels)
 
 
 def class_adjacency(labels: jax.Array, num_classes: int) -> jax.Array:

@@ -116,19 +116,15 @@ def make_zs3_step(
     seen_mask_f = 1.0 - unseen_mask  # (C,)
 
     def gen_apply(params, embeddings, emb_idx, noise, neighbors, nb_mask):
-        """(C, P, ...) generation, optionally graph-conditioned."""
+        """(C, P, ...) generation, optionally graph-conditioned.
+
+        neighbors/nb_mask are per-slot: (C, P, K) class ids + validity."""
         emb = embeddings[emb_idx]  # (C, embed_dim)
         emb_b = jnp.broadcast_to(emb[:, None], (emb.shape[0], noise.shape[1], emb.shape[1]))
         if graph_context:
-            nb_emb = embeddings[neighbors]  # (C, K, embed_dim)
-            nb_emb_b = jnp.broadcast_to(
-                nb_emb[:, None], (nb_emb.shape[0], noise.shape[1], *nb_emb.shape[1:])
-            )
-            nb_mask_b = jnp.broadcast_to(
-                nb_mask[:, None], (nb_mask.shape[0], noise.shape[1], nb_mask.shape[1])
-            )
+            nb_emb = embeddings[neighbors]  # (C, P, K, embed_dim)
             return generator.apply(
-                {"params": params}, emb_b, noise, nb_emb_b, nb_mask_b
+                {"params": params}, emb_b, noise, nb_emb, nb_mask
             )
         return generator.apply({"params": params}, emb_b, noise)
 
@@ -163,16 +159,39 @@ def make_zs3_step(
         labels = downsample_labels(batch_labels, (h, w))
         flat_feats = feats.reshape(-1, d).astype(jnp.float32)
         flat_labels = labels.reshape(-1)
-        real, real_mask = sample_class_pixels(
-            flat_feats, flat_labels, num_classes, budget, r_sample
+        real, real_mask, pix_idx = sample_class_pixels(
+            flat_feats, flat_labels, num_classes, budget, r_sample,
+            return_indices=True,
         )
-        # graph conditioning from batch label adjacency
+        # Graph conditioning (paper's per-scene spatial-context priors):
+        # each sampled pixel conditions on ITS image's class-adjacency
+        # graph; slots without a real pixel (notably every unseen-class
+        # slot) fall back to the batch-level co-occurrence graph.
         if graph_context:
-            adj = class_adjacency(batch_labels, num_classes)
-            neighbors, nb_mask = neighbor_lists_from_adjacency(adj, max_nb)
+            from zs3_tpu.ops.sampling import per_image_adjacency
+
+            adj_img = per_image_adjacency(batch_labels, num_classes)  # (B,C,C)
+            nb_img, nbm_img = jax.vmap(
+                lambda a: neighbor_lists_from_adjacency(a, max_nb)
+            )(adj_img)  # (B, C, K)
+            img_ids = pix_idx // (h * w)  # (C, P)
+            # per-slot gather: out[c, p] = nb_img[img_ids[c, p], c]
+            nb_pix = jax.vmap(lambda nb, ids: nb[ids])(
+                nb_img.transpose(1, 0, 2), img_ids
+            )  # (C, P, K)
+            nbm_pix = jax.vmap(lambda m, ids: m[ids])(
+                nbm_img.transpose(1, 0, 2), img_ids
+            )
+            adj_b = class_adjacency(batch_labels, num_classes)
+            nb_batch, nbm_batch = neighbor_lists_from_adjacency(adj_b, max_nb)
+            has_pixel = real_mask[..., None] > 0  # (C, P, 1)
+            neighbors = jnp.where(
+                has_pixel, nb_pix, nb_batch[:, None, :]
+            ).astype(jnp.int32)
+            nb_mask = jnp.where(has_pixel, nbm_pix, nbm_batch[:, None, :])
         else:
-            neighbors = jnp.zeros((num_classes, max_nb), jnp.int32)
-            nb_mask = jnp.zeros((num_classes, max_nb), jnp.float32)
+            neighbors = jnp.zeros((num_classes, budget, max_nb), jnp.int32)
+            nb_mask = jnp.zeros((num_classes, budget, max_nb), jnp.float32)
         emb_idx = jnp.arange(num_classes)
 
         # 2. generator MMD step over seen classes present in the batch
