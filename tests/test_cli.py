@@ -86,3 +86,50 @@ def test_infer_command(tmp_path, capsys):
     raw = np.asarray(Image.open(out / "scene.png"))
     assert raw.shape == (40, 50)
     assert (out / "scene_color.png").exists()
+
+
+def test_convert_weights_command(tmp_path, capsys):
+    import sys
+
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "tests")
+    from tests.torch_oracle import ResNetAtrous as TorchResNet
+
+    torch.manual_seed(0)
+    tmodel = TorchResNet(layers=(2, 2, 2, 2))
+    pth = tmp_path / "resnet.pth"
+    torch.save(tmodel.state_dict(), pth)
+
+    # converting against a mismatched-depth model must fail loudly;
+    # build a matching torch resnet50 for the real path
+    tmodel50 = TorchResNet(layers=(3, 4, 6, 3))
+    pth50 = tmp_path / "resnet50.pth"
+    torch.save(tmodel50.state_dict(), pth50)
+    out = tmp_path / "ckpt"
+    rc = main(
+        ["convert-weights", str(pth50), "--output", str(out),
+         "--backbone", "resnet50", "--dataset", "synthetic",
+         "--crop-size", "65", "--base-size", "65",
+         "--compute-dtype", "float32"]
+    )
+    assert rc == 0
+    # resulting checkpoint restores into a fresh state with torch weights
+    import jax
+
+    from zs3_tpu.core.config import Config, DataConfig, ModelConfig
+    from zs3_tpu.models.deeplab import build_deeplab
+    from zs3_tpu.train.state import create_seg_state
+    from zs3_tpu.utils.saver import Saver
+
+    cfg = Config(
+        model=ModelConfig(backbone="resnet50", compute_dtype="float32"),
+        data=DataConfig(dataset="synthetic", crop_size=65),
+    )
+    model = build_deeplab(cfg.model)
+    target = create_seg_state(model, cfg, jax.random.key(0), (1, 65, 65, 3), 1)
+    restored = Saver.restore(str(out), target)
+    stem = np.asarray(restored.params["encoder"]["stem_conv"]["conv"]["kernel"])
+    torch_stem = tmodel50.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(stem, torch_stem, rtol=1e-6)

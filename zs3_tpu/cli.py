@@ -149,7 +149,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     for name in (
         "train-seen", "train-gmmn", "train-zs5",
-        "evaluate", "evaluate-gmmn", "infer", "show-config",
+        "evaluate", "evaluate-gmmn", "infer", "convert-weights", "show-config",
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -157,6 +157,10 @@ def main(argv=None):
             p.add_argument("images", nargs="+", help="image files to segment")
             p.add_argument("--output", type=str, default="predictions")
             p.add_argument("--no-color", action="store_true")
+        elif name == "convert-weights":
+            p.add_argument("pth", help="torchvision-named ResNet state_dict .pth")
+            p.add_argument("--output", type=str, required=True,
+                           help="checkpoint directory to write (use with --resume --ft)")
     args = parser.parse_args(argv)
     cfg = build_config(args)
 
@@ -196,6 +200,31 @@ def main(argv=None):
             args.images, args.output, colorize=not args.no_color
         )
         result = {"written": len(written), "output": args.output}
+    elif args.command == "convert-weights":
+        import jax
+
+        from zs3_tpu.models.deeplab import build_deeplab
+        from zs3_tpu.train.state import create_seg_state
+        from zs3_tpu.utils.saver import Saver
+        from zs3_tpu.utils.torch_convert import load_pretrained_resnet
+
+        model = build_deeplab(cfg.model)
+        state = create_seg_state(
+            model, cfg, jax.random.key(cfg.train.seed),
+            (1, cfg.data.crop_size, cfg.data.crop_size, 3), total_steps=1,
+        )
+        variables = load_pretrained_resnet(
+            {"params": state.params, "batch_stats": state.batch_stats}, args.pth
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        import orbax.checkpoint as ocp
+
+        ckpt_path = args.output
+        ocp.PyTreeCheckpointer().save(ckpt_path, jax.device_get(state))
+        result = {"checkpoint": ckpt_path,
+                  "usage": "pass via --resume with --ft for pretrained init"}
     else:  # pragma: no cover
         raise AssertionError(args.command)
 

@@ -64,21 +64,59 @@ class Predictor:
             Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
         ).astype(np.int32)
 
+    def predict_batch(self, images: "list[np.ndarray]") -> "list[np.ndarray]":
+        """Batched inference: one device round trip for many images.
+
+        Images resize to the model's fixed input; predictions return at
+        each image's native resolution.
+        """
+        size = self.cfg.data.crop_size
+        stacked = []
+        for image in images:
+            resized = fixed_resize(
+                {"image": image, "label": np.zeros(image.shape[:2], np.uint8)},
+                size,
+            )
+            stacked.append(normalize(resized)["image"])
+        preds = np.asarray(
+            self._predict(self.variables, jnp.asarray(np.stack(stacked)))
+        ).astype(np.uint8)
+        out = []
+        for image, pred in zip(images, preds):
+            h, w = image.shape[:2]
+            out.append(
+                np.asarray(
+                    Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
+                ).astype(np.int32)
+            )
+        return out
+
     def predict_files(
-        self, paths: Iterable[str], out_dir: str, colorize: bool = True
+        self,
+        paths: Iterable[str],
+        out_dir: str,
+        colorize: bool = True,
+        batch_size: int = 8,
     ) -> List[str]:
         os.makedirs(out_dir, exist_ok=True)
+        paths = list(paths)
         written = []
-        for path in paths:
-            image = np.asarray(Image.open(path).convert("RGB"))
-            pred = self.predict_array(image)
-            stem = os.path.splitext(os.path.basename(path))[0]
-            raw = os.path.join(out_dir, stem + ".png")
-            Image.fromarray(pred.astype(np.uint8), mode="L").save(raw)
-            written.append(raw)
-            if colorize:
-                color = decode_segmap(pred, self.cfg.model.num_classes)
-                color_path = os.path.join(out_dir, stem + "_color.png")
-                Image.fromarray(color).save(color_path)
-                written.append(color_path)
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            images = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
+            # pad the final chunk so the jit predict sees one batch shape
+            n_real = len(images)
+            while len(images) < batch_size:
+                images.append(images[0])
+            preds = self.predict_batch(images)[:n_real]
+            for path, pred in zip(chunk, preds):
+                stem = os.path.splitext(os.path.basename(path))[0]
+                raw = os.path.join(out_dir, stem + ".png")
+                Image.fromarray(pred.astype(np.uint8), mode="L").save(raw)
+                written.append(raw)
+                if colorize:
+                    color = decode_segmap(pred, self.cfg.model.num_classes)
+                    color_path = os.path.join(out_dir, stem + "_color.png")
+                    Image.fromarray(color).save(color_path)
+                    written.append(color_path)
         return written
