@@ -165,3 +165,16 @@ def test_resume_is_bit_deterministic(tiny_cfg):
     b = jax.tree.leaves(jax.device_get(t3.state.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_feature_grid_loss_trains(tiny_cfg):
+    import dataclasses
+
+    cfg = tiny_cfg.replace(
+        optim=dataclasses.replace(tiny_cfg.optim, loss_at="feature")
+    )
+    trainer = SeenTrainer(cfg)
+    stats = trainer.train_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    report = trainer.validate(0)
+    assert 0.0 <= report["miou"] <= 1.0

@@ -96,6 +96,11 @@ class OptimConfig:
 
     lr: float = 0.007
     loss_type: str = "ce"  # ce | focal
+    # Where the loss is computed: 'full' upsamples logits to input
+    # resolution (reference semantics); 'feature' downsamples labels to
+    # the os4 grid instead — skips the 513^2 x C logits forward+backward
+    # chain (measured ~2% faster on v5e; mainly a memory saver).
+    loss_at: str = "full"
     use_balanced_weights: bool = False
     momentum: float = 0.9
     weight_decay: float = 5e-4

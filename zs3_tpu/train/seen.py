@@ -35,7 +35,10 @@ from zs3_tpu.utils.saver import Saver
 
 
 def make_train_step(
-    loss_fn: Callable, donate: bool = True, device_preprocess: bool = False
+    loss_fn: Callable,
+    donate: bool = True,
+    device_preprocess: bool = False,
+    loss_at: str = "full",
 ):
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
@@ -54,15 +57,33 @@ def make_train_step(
             images, labels = batched_random_flip_device(images, labels, flip_rng)
 
         def compute_loss(params):
-            logits, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            kwargs = dict(
                 train=True,
                 deterministic=False,
                 rngs={"dropout": step_rng},
                 mutable=["batch_stats"],
             )
-            loss = loss_fn(logits, labels)
+            if loss_at == "feature":
+                # loss at the os4 grid: labels downsample (nearest), the
+                # 513^2 x C logits chain never exists.
+                feats, updates = state.apply_fn(
+                    variables, images, method="forward_features", **kwargs
+                )
+                logits = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats,
+                    method="classify",
+                )
+                from zs3_tpu.ops.resize import resize_nearest
+
+                small = resize_nearest(labels, logits.shape[1:3])
+                loss = loss_fn(logits.astype(jnp.float32), small)
+            else:
+                logits, updates = state.apply_fn(
+                    variables, images, **kwargs
+                )
+                loss = loss_fn(logits, labels)
             return loss, (logits, updates)
 
         (loss, (_, updates)), grads = jax.value_and_grad(
@@ -149,7 +170,10 @@ class SeenTrainer:
             cfg.optim.loss_type, cfg.data.ignore_index, class_weights
         )
         self.train_step = make_train_step(
-            self.loss_fn, cfg.train.donate_state, cfg.data.device_preprocess
+            self.loss_fn,
+            cfg.train.donate_state,
+            cfg.data.device_preprocess,
+            cfg.optim.loss_at,
         )
         self.eval_step = make_eval_step(num_classes, cfg.data.ignore_index)
         self.num_classes = num_classes
