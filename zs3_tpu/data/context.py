@@ -41,6 +41,13 @@ class ContextSegmentation:
         split_file = os.path.join(
             base, "ImageSets", "SegmentationContext", f"{split}.txt"
         )
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(
+                f"Pascal-Context split list not found: {split_file}\n"
+                f"Expected under {root!r}: VOC2010/{{JPEGImages,"
+                "SegmentationClassContext,ImageSets/SegmentationContext}. "
+                "Convert 'detail'-API labels to 59-class PNGs offline first."
+            )
         with open(split_file) as f:
             names = [line.strip() for line in f if line.strip()]
         self.split = split

@@ -44,6 +44,13 @@ class VOCSegmentation:
         split_file = os.path.join(
             base, "ImageSets", "Segmentation", f"{split}.txt"
         )
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(
+                f"VOC split list not found: {split_file}\n"
+                f"Expected the standard VOCdevkit layout under {root!r}: "
+                "VOC2012/{JPEGImages,SegmentationClass,ImageSets/Segmentation}. "
+                "Set --data-root to the directory containing VOC2012/."
+            )
         with open(split_file) as f:
             names = [line.strip() for line in f if line.strip()]
         self.split = split

@@ -17,6 +17,11 @@ of a DeepLab variable tree.  Layout notes:
 naming used by the torch oracle in tests/torch_oracle.py (aspp1..4,
 global_pool, project, low_proj, fuse1/2, classifier) so whole-model
 golden parity is testable without torchvision.
+
+Scope: ResNet-family backbones only.  The reference's pretrained
+Xception/DRN/MobileNet checkpoints use bespoke namings from their
+respective upstreams; extend the mapping tables here when such files are
+actually available to validate against.
 """
 
 from __future__ import annotations
