@@ -55,3 +55,16 @@ def test_make_mesh_subset_and_errors():
     assert make_mesh((("a", 5),)).shape == {"a": 5}
     with pytest.raises(ValueError):
         make_mesh((("a", 16),))  # more than available
+
+
+def test_prefetch_to_device(mesh8):
+    from zs3_tpu.core.mesh import prefetch_to_device
+
+    batches = [
+        {"image": np.full((8, 2, 2, 3), i, np.float32)} for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), mesh8, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert b["image"].sharding.num_devices == 8
+        np.testing.assert_array_equal(np.asarray(b["image"]), batches[i]["image"])

@@ -9,7 +9,6 @@ Two independent guarantees:
      430-line SyncBN existed for.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

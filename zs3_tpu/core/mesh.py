@@ -69,6 +69,25 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2, axis: str = "data"):
+    """Shard-and-transfer batches `depth` ahead of consumption.
+
+    device_put is asynchronous, so enqueueing the next batches while the
+    current step computes overlaps host->device transfer with compute
+    (the torch-DataLoader pin_memory+prefetch analog, but driven by
+    XLA's async dispatch instead of worker processes).
+    """
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(batch, mesh, axis))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def pad_eval_batch(batch: dict, multiple: int, ignore_index: int = 255) -> dict:
     """Pad batch dim to a multiple of the mesh axis with inert samples.
 

@@ -399,19 +399,31 @@ class GMMNTrainer:
             )
         return shard_batch(batch, self.mesh)
 
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
-        self.train_loader.set_epoch(epoch)
-        mmds, ces = [], []
-        t0 = time.time()
+    def _train_batches(self):
+        n_data = self.mesh.shape.get("data", 1)
         for i, batch in enumerate(self.train_loader):
             if i >= self.steps_per_epoch:
                 break
+            if batch["image"].shape[0] % n_data:
+                raise ValueError(
+                    f"train batch size {batch['image'].shape[0]} must be "
+                    f"divisible by the data mesh axis ({n_data})"
+                )
+            yield {"image": batch["image"], "label": batch["label"]}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        from zs3_tpu.core.mesh import prefetch_to_device
+
+        self.train_loader.set_epoch(epoch)
+        mmds, ces = [], []
+        t0 = time.time()
+        for dev_batch in prefetch_to_device(self._train_batches(), self.mesh):
             self.gen_state, self.cls_state, out = self.step_fn(
                 self.gen_state,
                 self.cls_state,
                 self.trunk_variables,
                 self.embeddings,
-                self._device_batch(batch),
+                dev_batch,
                 self.rng,
             )
             mmds.append(out["mmd"])

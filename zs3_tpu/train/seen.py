@@ -204,16 +204,29 @@ class SeenTrainer:
             )
         return shard_batch(batch, self.mesh)
 
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
-        self.train_loader.set_epoch(epoch)
-        losses = []
-        t0 = time.time()
+    def _train_batches(self):
+        """Host batches for one epoch, validated, capped at steps_per_epoch."""
+        n_data = self.mesh.shape.get("data", 1)
         for i, batch in enumerate(self.train_loader):
             if i >= self.steps_per_epoch:
                 break
-            self.state, out = self.train_step(
-                self.state, self._device_batch(batch), self.rng
-            )
+            if batch["image"].shape[0] % n_data:
+                raise ValueError(
+                    f"train batch size {batch['image'].shape[0]} must be "
+                    f"divisible by the data mesh axis ({n_data})"
+                )
+            yield {"image": batch["image"], "label": batch["label"]}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        from zs3_tpu.core.mesh import prefetch_to_device
+
+        self.train_loader.set_epoch(epoch)
+        losses = []
+        t0 = time.time()
+        for i, dev_batch in enumerate(
+            prefetch_to_device(self._train_batches(), self.mesh)
+        ):
+            self.state, out = self.train_step(self.state, dev_batch, self.rng)
             losses.append(out["loss"])
             if self.cfg.train.log_every and (i + 1) % self.cfg.train.log_every == 0:
                 self.logger.log(
