@@ -205,7 +205,6 @@ def main(argv=None):
 
         from zs3_tpu.models.deeplab import build_deeplab
         from zs3_tpu.train.state import create_seg_state
-        from zs3_tpu.utils.saver import Saver
         from zs3_tpu.utils.torch_convert import load_pretrained_resnet
 
         model = build_deeplab(cfg.model)

@@ -10,7 +10,7 @@ resolution, write raw label PNGs + colorized panels.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
