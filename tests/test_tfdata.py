@@ -86,3 +86,33 @@ def test_make_data_loader_tfdata(voc_tree):
     assert batch["image"].shape == (2, 33, 33, 3)
     vb = next(iter(val))
     assert vb["image"].shape == (2, 33, 33, 3)
+
+
+def test_tfdata_feeds_seen_trainer(voc_tree, tmp_path):
+    """The tf.data pipeline must drive SeenTrainer end to end."""
+    import dataclasses
+
+    from zs3_tpu.core.config import Config, ModelConfig, TrainConfig
+    from zs3_tpu.train.seen import SeenTrainer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=21, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(
+            dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+            batch_size=2, eval_batch_size=2, input_pipeline="tfdata",
+            num_workers=1,
+        ),
+        train=TrainConfig(
+            epochs=1, steps_per_epoch=2,
+            checkpoint_dir=str(tmp_path / "run"), keep_checkpoints=1,
+            mesh_axes=(("data", 1),),  # 4 train images -> batch 2 on 1 device
+        ),
+    )
+    trainer = SeenTrainer(cfg)
+    stats = trainer.train_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    report = trainer.validate(0)
+    assert 0.0 <= report["miou"] <= 1.0
