@@ -76,3 +76,10 @@ def test_pixel_accuracy():
     ev.add_batch(jnp.asarray(gt), jnp.asarray(pred))
     rep = ev.compute()
     assert np.isclose(rep.pixel_accuracy, 2 / 3)
+
+
+def test_confusion_shape_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        confusion_matrix(jnp.zeros((2, 3)), jnp.zeros((2, 4)), 5)

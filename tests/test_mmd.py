@@ -93,3 +93,10 @@ def test_batched_mmd_skips_empty_classes(rng):
         float(mmd_loss(fake[i], real[i], fm[i], rm[i])) for i in (0, 1, 3)
     ]
     assert np.isclose(float(loss), np.mean(per), rtol=1e-4)
+
+
+def test_mmd_shape_validation(rng):
+    with pytest.raises(ValueError):
+        mmd_loss(jnp.zeros((4, 3)), jnp.zeros((4, 5)))  # D mismatch
+    with pytest.raises(ValueError):
+        mmd_loss(jnp.zeros((4,)), jnp.zeros((4, 5)))  # rank

@@ -25,6 +25,10 @@ def confusion_matrix(
     ignore_index (or falls outside [0, num_classes)) are dropped.
     Accepts any integer-shaped gt/pred of identical shape.
     """
+    if gt.shape != pred.shape:
+        raise ValueError(
+            f"confusion_matrix: gt {gt.shape} and pred {pred.shape} differ"
+        )
     gt = gt.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
     valid = (gt != ignore_index) & (gt >= 0) & (gt < num_classes)

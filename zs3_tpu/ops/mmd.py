@@ -67,6 +67,11 @@ def mmd_loss(
     mask yields 0 loss (guarded denominators), so empty classes in a
     batched vmap are free no-ops.
     """
+    if fake.ndim != 2 or real.ndim != 2 or fake.shape[1] != real.shape[1]:
+        raise ValueError(
+            f"mmd_loss expects (N, D) and (M, D) with equal D; got "
+            f"{fake.shape} vs {real.shape}"
+        )
     fake = fake.astype(jnp.float32)
     real = real.astype(jnp.float32)
     n = fake.shape[0]

@@ -35,6 +35,11 @@ def sample_class_pixels(
     (e.g. to recover which image each pixel came from).  Random *without
     replacement* within each class.
     """
+    if feats.ndim != 2 or labels.ndim != 1 or feats.shape[0] != labels.shape[0]:
+        raise ValueError(
+            f"sample_class_pixels expects feats (N, D) and labels (N,); "
+            f"got {feats.shape} and {labels.shape}"
+        )
     n = labels.shape[0]
     u = jax.random.uniform(
         rng, (num_classes, n), minval=1e-6, maxval=1.0
