@@ -64,10 +64,81 @@ def test_generate_pseudo_labels(tmp_path):
             continue
         pseudo = np.asarray(Image.open(path))
         gt = sample["label"]
-        # seen pixels keep GT exactly
+        # labeled (seen-GT) pixels keep GT exactly
         np.testing.assert_array_equal(pseudo[gt != 2], gt[gt != 2])
-        # unseen pixels are re-labeled from the allowed (unseen) set only
-        assert np.all(np.isin(pseudo[gt == 2], [2]))
+        # unlabeled pixels carry the model's restricted prediction:
+        # any seen class or the image's unseen tags (never other unseen)
+        assert np.all(np.isin(pseudo[gt == 2], [0, 1, 2, 3, 4, 5]))
+
+
+class _StubDataset:
+    """Minimal dataset stub with externally-supplied images/labels."""
+
+    def __init__(self, images, labels, num_classes):
+        self.images, self.labels = images, labels
+        self.NUM_CLASSES = num_classes
+        self.names = [f"img_{i:03d}" for i in range(len(images))]
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return {
+            "image": self.images[i],
+            "label": self.labels[i],
+            "name": self.names[i],
+        }
+
+
+def test_pseudo_labels_never_read_unseen_gt_values(tmp_path):
+    """The weak protocol grants image-level tags only: permuting the
+    unseen class ids inside the GT regions (same tag set, same
+    labeled/unlabeled partition) must not change the pseudo-labels.
+    The old leaky implementation copied each region's unseen id into the
+    allowed-set restriction per pixel and would fail this test."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (65, 65, 3), dtype=np.uint8)
+    gt_a = np.zeros((65, 65), np.uint8)
+    gt_a[5:25, 5:25] = 2
+    gt_a[35:60, 30:60] = 4
+    gt_a[0:5, 40:64] = 1  # a seen object
+    gt_b = gt_a.copy()
+    gt_b[gt_a == 2] = 4
+    gt_b[gt_a == 4] = 2  # swap the unseen ids; tags {2,4} unchanged
+    model = DeepLab(backbone="resnet50", num_classes=6, dropout=False)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 65, 65, 3)))
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ds_a = _StubDataset([img], [gt_a], 6)
+    ds_b = _StubDataset([img], [gt_b], 6)
+    assert generate_pseudo_labels(model, variables, ds_a, (2, 4), out_a, size=65) == 1
+    assert generate_pseudo_labels(model, variables, ds_b, (2, 4), out_b, size=65) == 1
+    pa = np.asarray(Image.open(os.path.join(out_a, "img_000.png")))
+    pb = np.asarray(Image.open(os.path.join(out_b, "img_000.png")))
+    np.testing.assert_array_equal(pa, pb)
+    # and the seen object's GT survives in both
+    np.testing.assert_array_equal(pa[gt_a == 1], gt_a[gt_a == 1])
+
+
+def test_pseudo_labels_confidence_threshold(tmp_path):
+    """An impossible threshold (>1) turns every unlabeled pixel into
+    ignore; threshold 0 labels them all."""
+    ds = SyntheticSegmentation(4, (65, 65), num_classes=6, seed=3)
+    model = DeepLab(backbone="resnet50", num_classes=6, dropout=False)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 65, 65, 3)))
+    out_dir = str(tmp_path / "pseudo_conf")
+    n = generate_pseudo_labels(
+        model, variables, ds, (2,), out_dir, size=65, confidence=2.0
+    )
+    assert n > 0
+    for i in range(4):
+        sample = ds[i]
+        path = os.path.join(out_dir, sample["name"] + ".png")
+        if not os.path.exists(path):
+            continue
+        pseudo = np.asarray(Image.open(path))
+        gt = sample["label"]
+        assert np.all(pseudo[gt == 2] == 255)
+        np.testing.assert_array_equal(pseudo[gt != 2], gt[gt != 2])
 
 
 def test_weak_label_dataset_override(tmp_path):
@@ -83,6 +154,9 @@ def test_weak_label_dataset_override(tmp_path):
 
 def test_zs5_trainer_end_to_end(zs5_cfg):
     t = ZS5Trainer(zs5_cfg)
+    # ZS5 runs the fused step in self-training mode (real unseen
+    # features reach the classifier CE and the MMD targets).
+    assert t.cfg.gmmn.self_training
     n = t.pseudo_label()
     assert n > 0
     files = os.listdir(t.pseudo_dir)

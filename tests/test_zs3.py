@@ -16,7 +16,9 @@ from zs3_tpu.core.config import (
 from zs3_tpu.models.deeplab import DeepLab
 from zs3_tpu.train.gmmn import (
     GMMNTrainer,
+    classifier_training_set,
     extract_classifier,
+    mmd_training_masks,
     splice_classifier,
 )
 
@@ -58,6 +60,45 @@ def test_splice_extract_roundtrip():
     a = m.apply(variables, x)
     b = m.apply(spliced, x)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_classifier_training_set_routing():
+    """ZS3 substitutes generated features on unseen rows; ZS5 keeps real
+    features at pseudo-labeled unseen pixels and only fills empty slots
+    with generated ones (the ADVICE-flagged self-training signal)."""
+    C, P, D = 4, 3, 2
+    real = jnp.arange(C * P * D, dtype=jnp.float32).reshape(C, P, D)
+    fake = -jnp.ones((C, P, D), jnp.float32)
+    real_mask = jnp.array(
+        [[1, 1, 0], [1, 0, 0], [1, 1, 1], [1, 0, 0]], jnp.float32
+    )
+    unseen = jnp.array([0.0, 0.0, 1.0, 1.0])
+    # ZS3 mode: unseen rows fully generated
+    feats, mask = classifier_training_set(real, real_mask, fake, unseen, False)
+    assert np.all(np.asarray(feats[2]) == -1) and np.all(np.asarray(feats[3]) == -1)
+    np.testing.assert_array_equal(np.asarray(feats[0]), np.asarray(real[0]))
+    np.testing.assert_array_equal(np.asarray(mask[0]), np.asarray(real_mask[0]))
+    assert np.all(np.asarray(mask[2]) == 1)
+    # ZS5 mode: real unseen features win where sampled
+    feats, mask = classifier_training_set(real, real_mask, fake, unseen, True)
+    np.testing.assert_array_equal(np.asarray(feats[2]), np.asarray(real[2]))
+    np.testing.assert_array_equal(np.asarray(feats[3][0]), np.asarray(real[3][0]))
+    assert np.all(np.asarray(feats[3][1:]) == -1)  # empty slots generated
+    np.testing.assert_array_equal(np.asarray(feats[0]), np.asarray(real[0]))
+    assert np.all(np.asarray(mask[2]) == 1) and np.all(np.asarray(mask[3]) == 1)
+
+
+def test_mmd_training_masks_routing():
+    """ZS3 restricts the generator's MMD to seen classes; ZS5 lets
+    pseudo-labeled unseen pixels serve as MMD targets."""
+    real_mask = jnp.array([[1, 1, 0], [1, 0, 0]], jnp.float32)
+    seen_f = jnp.array([1.0, 0.0])  # class 1 unseen
+    fm, rm = mmd_training_masks(real_mask, seen_f, False)
+    assert np.all(np.asarray(fm[1]) == 0) and np.all(np.asarray(rm[1]) == 0)
+    np.testing.assert_array_equal(np.asarray(rm[0]), np.asarray(real_mask[0]))
+    fm, rm = mmd_training_masks(real_mask, seen_f, True)
+    assert np.all(np.asarray(fm) == 1)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(real_mask))
 
 
 def test_gmmn_trainer_end_to_end(zs3_cfg):

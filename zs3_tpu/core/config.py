@@ -60,6 +60,14 @@ class GMMNConfig:
     graph_context: bool = False
     graph_hidden_dim: int = 256
     max_graph_neighbors: int = 8
+    # ZS5 self-training mode: pseudo-labeled unseen pixels provide REAL
+    # features to both the classifier CE and the MMD targets (reference
+    # ZS5 retrains on the augmented label set); plain ZS3 substitutes
+    # generated features for all unseen rows.  Set by ZS5Trainer.
+    self_training: bool = False
+    # Min softmax confidence for a pseudo-label to be written (ZS5
+    # stage A); 0 disables thresholding and uses the fused argmax kernel.
+    pseudo_confidence: float = 0.0
 
 
 @dataclass(frozen=True)

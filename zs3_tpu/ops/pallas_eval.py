@@ -92,8 +92,11 @@ def predict_labels(
     size: Tuple[int, int],
     align_corners: bool = True,
 ) -> jax.Array:
-    """Dispatch: Pallas on TPU, jnp oracle elsewhere (identical output)."""
-    if jax.default_backend() == "cpu":
+    """Dispatch: Pallas on TPU, jnp oracle elsewhere (identical output).
+
+    Mosaic kernels only lower on TPU, so every other backend (cpu, gpu,
+    ...) takes the resize+argmax oracle path."""
+    if jax.default_backend() != "tpu":
         from zs3_tpu.ops.resize import resize_bilinear
 
         return jnp.argmax(

@@ -84,6 +84,42 @@ def extract_classifier(variables) -> Dict[str, jax.Array]:
     return {"kernel": conv["kernel"][0, 0], "bias": conv["bias"]}
 
 
+def mmd_training_masks(real_mask, seen_mask_f, self_training: bool):
+    """(fake_mask, real_mask) the generator's MMD trains against.
+
+    ZS3: only seen classes have trustworthy real features (unseen images
+    were filtered from the train set), so both sides are seen-restricted.
+    ZS5 (self_training): pseudo-labeled unseen pixels ARE the training
+    signal — the reference retrain fits the generator against the
+    augmented label set — so every class with real pixels is a target
+    and the generator trains on all classes (empty rows are zero-mass
+    no-ops inside the masked MMD)."""
+    if self_training:
+        return jnp.ones_like(real_mask), real_mask
+    num_classes, budget = real_mask.shape
+    fake_mask = jnp.broadcast_to(seen_mask_f[:, None], (num_classes, budget))
+    return fake_mask, real_mask * seen_mask_f[:, None]
+
+
+def classifier_training_set(real, real_mask, fake, unseen_mask, self_training: bool):
+    """(features, mask) the classifier CE retrains on, both (C, P[, D]).
+
+    ZS3: unseen rows are fully generated (no real unseen pixels exist in
+    the filtered train set); seen rows are real under their sample mask.
+    ZS5 (self_training): real features at pseudo-labeled unseen pixels
+    take precedence — generated features only fill EMPTY unseen slots —
+    so the classifier consumes real features under pseudo labels like
+    the reference's self-training retrain (SURVEY.md §3.4)."""
+    unseen_row = unseen_mask[:, None] > 0  # (C, 1)
+    if self_training:
+        use_fake = unseen_row[..., None] & (real_mask[..., None] <= 0)
+    else:
+        use_fake = unseen_row[..., None]
+    feats = jnp.where(use_fake, fake, real)
+    mask = jnp.where(unseen_row, jnp.ones_like(real_mask), real_mask)
+    return feats, mask
+
+
 def make_zs3_step(
     model,
     generator,
@@ -99,9 +135,11 @@ def make_zs3_step(
     sigmas = cfg.gmmn.mmd_sigmas
     backend = cfg.gmmn.mmd_backend
     if backend == "auto":
+        # Mosaic kernels are TPU-only: every other backend (cpu, gpu)
+        # takes the XLA-fused jnp oracle.
         backend = (
             "pallas"
-            if budget >= 512 and jax.default_backend() not in ("cpu",)
+            if budget >= 512 and jax.default_backend() == "tpu"
             else "jnp"
         )
     if backend == "pallas":
@@ -113,6 +151,7 @@ def make_zs3_step(
         mmd_fn = batched_mmd_loss
     ignore = cfg.data.ignore_index
     max_nb = cfg.gmmn.max_graph_neighbors
+    self_training = cfg.gmmn.self_training
     seen_mask_f = 1.0 - unseen_mask  # (C,)
 
     def gen_apply(params, embeddings, emb_idx, noise, neighbors, nb_mask):
@@ -197,14 +236,13 @@ def make_zs3_step(
         # 2. generator MMD step over seen classes present in the batch
         noise1 = jax.random.normal(r_noise1, (num_classes, budget, noise_dim))
 
+        mmd_fake_mask, mmd_real_mask = mmd_training_masks(
+            real_mask, seen_mask_f, self_training
+        )
+
         def gen_loss_fn(gp):
             fake = gen_apply(gp, embeddings, emb_idx, noise1, neighbors, nb_mask)
-            fake_mask = jnp.broadcast_to(
-                seen_mask_f[:, None], (num_classes, budget)
-            )
-            return mmd_fn(
-                fake, real, fake_mask, real_mask * seen_mask_f[:, None], sigmas
-            )
+            return mmd_fn(fake, real, mmd_fake_mask, mmd_real_mask, sigmas)
 
         mmd, gen_grads = jax.value_and_grad(gen_loss_fn)(gen_state.params)
         gen_state = gen_state.apply_gradients(grads=gen_grads)
@@ -214,11 +252,8 @@ def make_zs3_step(
         fake_all = gen_apply(
             gen_state.params, embeddings, emb_idx, noise2, neighbors, nb_mask
         )
-        cls_feats = jnp.where(unseen_mask[:, None, None] > 0, fake_all, real)
-        cls_mask = jnp.where(
-            unseen_mask[:, None] > 0,
-            jnp.ones_like(real_mask),
-            real_mask,
+        cls_feats, cls_mask = classifier_training_set(
+            real, real_mask, fake_all, unseen_mask, self_training
         )
         cls_labels = jnp.broadcast_to(
             jnp.arange(num_classes)[:, None], (num_classes, budget)
@@ -297,6 +332,17 @@ class GMMNTrainer:
             seg_variables = jax.jit(
                 lambda r: self.model.init(r, dummy, train=False)
             )(init_rng)
+            if not cfg.train.resume:
+                import warnings
+
+                warnings.warn(
+                    "GMMNTrainer is starting from a RANDOMLY INITIALIZED "
+                    "trunk (no seg_variables and no --resume checkpoint): "
+                    "extracted features are meaningless and zero-shot "
+                    "training will not transfer. Pass the supervised "
+                    "seen-classes checkpoint via train.resume.",
+                    stacklevel=2,
+                )
             if cfg.train.resume:
                 seg_state = create_seg_state(
                     self.model, cfg, init_rng,
@@ -317,6 +363,13 @@ class GMMNTrainer:
         emb = load_class_embeddings(
             names, cfg.data.embedding_path, cfg.gmmn.embed_dim
         )
+        if emb.shape[1] != cfg.gmmn.embed_dim:
+            raise ValueError(
+                f"embedding file {cfg.data.embedding_path!r} has dim "
+                f"{emb.shape[1]}, but gmmn.embed_dim={cfg.gmmn.embed_dim} "
+                f"(the generator was sized for the latter; set "
+                f"gmmn.embed_dim to match the file)"
+            )
         self.embeddings = replicate(jnp.asarray(emb), self.mesh)
 
         self.unseen = tuple(cfg.data.unseen_classes)

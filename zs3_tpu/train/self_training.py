@@ -14,12 +14,22 @@ Pipeline here:
      argmax over each train image (fixed 513 resize -> one compile),
      writes PNG pseudo-labels at native resolution;
   2. `ZS5Trainer` re-runs GMMNTrainer with the dataset's weak-label path
-     pointed at that directory (no unseen-image filtering).
+     pointed at that directory (no unseen-image filtering) and
+     gmmn.self_training=True, so real features at pseudo-labeled pixels
+     flow into the classifier CE and the MMD targets.
 
-Pixels whose GT is a *seen* class (or ignore) keep their GT; only
-unseen-class pixels receive model predictions, restricted to the image's
-unseen tags — matching the zero-shot protocol (unseen GT masks are never
-used as targets, only their image-level presence).
+Weak-supervision contract (what stage 1 is allowed to consume):
+  * the image;
+  * the seen-GT view: per-pixel GT where its value is a seen class or
+    ignore — pixels annotated with an unseen class appear UNLABELED
+    (this labeled/unlabeled partition is exactly what a ZS5 annotator
+    provides, so reading it is not a leak);
+  * the image-level unseen tag set.
+Unlabeled pixels receive the model's own argmax restricted to
+(seen classes ∪ the image's unseen tags), optionally confidence-
+thresholded to ignore.  Per-pixel unseen GT *values* are never read —
+swapping unseen class ids inside a region changes nothing (tested) —
+so the model, not the annotation, localizes each unseen class.
 """
 
 from __future__ import annotations
@@ -37,18 +47,15 @@ from zs3_tpu.data.transforms import fixed_resize, normalize
 from zs3_tpu.train.gmmn import GMMNTrainer, splice_classifier
 
 
-def make_pseudo_label_step(model, num_classes: int):
+def make_pseudo_label_step(model, num_classes: int, confidence: float = 0.0):
     from zs3_tpu.ops.pallas_eval import predict_labels
 
-    @jax.jit
-    def step(variables, image, allowed_mask):
-        """image (1,S,S,3) normalized; allowed_mask (C,) 1=class allowed.
+    def restricted_logits(variables, image, allowed_mask):
+        """(1,S,S,C) logits with disallowed classes at -inf.
 
-        Returns restricted argmax (1,S,S).  Channel masking commutes with
-        the (channelwise, convex) bilinear upsample, so the restriction
-        applies at the feature grid and the fused upsample+argmax kernel
-        handles the rest.
-        """
+        Channel masking commutes with the (channelwise, convex) bilinear
+        upsample, so the restriction applies at the feature grid and the
+        fused upsample+argmax kernel handles the rest."""
         feats = model.apply(
             variables, image, train=False, method="forward_features"
         )
@@ -56,8 +63,31 @@ def make_pseudo_label_step(model, num_classes: int):
             jnp.float32
         )
         neg = jnp.finfo(jnp.float32).min
-        restricted = jnp.where(allowed_mask[None, None, None, :] > 0, logits, neg)
-        return predict_labels(restricted, image.shape[1:3])
+        return jnp.where(allowed_mask[None, None, None, :] > 0, logits, neg)
+
+    if confidence <= 0.0:
+
+        @jax.jit
+        def step(variables, image, allowed_mask):
+            """-> ((1,S,S) restricted argmax, None)."""
+            restricted = restricted_logits(variables, image, allowed_mask)
+            return predict_labels(restricted, image.shape[1:3]), None
+
+    else:
+        from zs3_tpu.ops.resize import resize_bilinear
+
+        @jax.jit
+        def step(variables, image, allowed_mask):
+            """-> ((1,S,S) argmax, (1,S,S) max softmax prob).
+
+            The confidence path materializes full-res logits (softmax
+            needs all channels), so it skips the fused kernel — fine for
+            the offline pseudo-labeling stage."""
+            restricted = restricted_logits(variables, image, allowed_mask)
+            up = resize_bilinear(restricted, image.shape[1:3], True)
+            pred = jnp.argmax(up, axis=-1).astype(jnp.int32)
+            conf = jnp.max(jax.nn.softmax(up, axis=-1), axis=-1)
+            return pred, conf
 
     return step
 
@@ -70,18 +100,22 @@ def generate_pseudo_labels(
     out_dir: str,
     size: int = 513,
     ignore_index: int = 255,
+    confidence: float = 0.0,
 ) -> int:
-    """Write pseudo-label PNGs for every image in `dataset` that contains
-    unseen classes; returns the number written.
+    """Write pseudo-label PNGs for every image in `dataset` whose tag set
+    contains unseen classes; returns the number written.
 
-    Image-level tags are derived from the GT's class-presence set — the
-    weak supervision ZS5 assumes given (the per-pixel unseen GT itself is
-    never copied into a target).
+    Consumes ONLY the weak annotation (module docstring): the image, the
+    seen-GT view (GT where it is a seen class or ignore; unseen-valued
+    pixels are just "unlabeled" — their class ids are never read), and
+    the image-level tag set.  Unlabeled pixels get the model's argmax
+    restricted to (seen ∪ tags); predictions below `confidence` (max
+    softmax prob) are written as `ignore_index` instead.
     """
     os.makedirs(out_dir, exist_ok=True)
     unseen = np.asarray(sorted(unseen_classes))
     num_classes = dataset.NUM_CLASSES
-    step = make_pseudo_label_step(model, num_classes)
+    step = make_pseudo_label_step(model, num_classes, confidence)
     # Pin the (large) variable tree on device once; otherwise every call
     # re-transfers ~160MB of params through the host.
     variables = jax.device_put(variables)
@@ -89,20 +123,24 @@ def generate_pseudo_labels(
     for i in range(len(dataset)):
         sample = dataset[i]
         gt = np.asarray(sample["label"])
-        present = np.unique(gt)
-        unseen_here = np.intersect1d(present, unseen)
-        if unseen_here.size == 0:
+        # Image-level tags: which unseen classes the annotator flagged.
+        tags = np.intersect1d(np.unique(gt), unseen)
+        if tags.size == 0:
             continue
+        # Seen-GT view: True where the weak annotation labels the pixel
+        # (a seen class or ignore).  The unlabeled complement is part of
+        # the annotation itself; the unseen values under it are not.
+        labeled = ~np.isin(gt, unseen)
         # Model input: fixed resize (one jit compilation for all images).
         resized = fixed_resize(
             {"image": sample["image"], "label": gt}, size
         )
         norm = normalize(resized)
-        # Allowed classes: only this image's unseen tags — seen/ignore
-        # pixels keep GT below, so restriction is purely over unseen.
-        allowed = np.zeros((num_classes,), np.float32)
-        allowed[unseen_here] = 1.0
-        pred = step(
+        # Restrict the prediction to seen classes + this image's tags.
+        allowed = np.ones((num_classes,), np.float32)
+        allowed[unseen] = 0.0
+        allowed[tags] = 1.0
+        pred, conf = step(
             variables,
             jnp.asarray(norm["image"])[None],
             jnp.asarray(allowed),
@@ -112,9 +150,14 @@ def generate_pseudo_labels(
         pred_img = Image.fromarray(pred_np, mode="L").resize(
             (gt.shape[1], gt.shape[0]), Image.NEAREST
         )
-        pred_full = np.asarray(pred_img)
-        is_unseen_px = np.isin(gt, unseen_here)
-        pseudo = np.where(is_unseen_px, pred_full, gt).astype(np.uint8)
+        pred_full = np.asarray(pred_img).astype(np.int64)
+        if conf is not None:
+            conf_img = Image.fromarray(
+                np.asarray(conf[0], dtype=np.float32), mode="F"
+            ).resize((gt.shape[1], gt.shape[0]), Image.NEAREST)
+            low = np.asarray(conf_img) < confidence
+            pred_full = np.where(low, ignore_index, pred_full)
+        pseudo = np.where(labeled, gt, pred_full).astype(np.uint8)
         Image.fromarray(pseudo, mode="L").save(
             os.path.join(out_dir, sample["name"] + ".png")
         )
@@ -164,7 +207,12 @@ class ZS5Trainer(GMMNTrainer):
             cfg.train.checkpoint_dir, "pseudo_labels"
         )
         cfg = cfg.replace(
-            data=dataclasses.replace(cfg.data, weak_label_dir=pseudo_dir)
+            data=dataclasses.replace(cfg.data, weak_label_dir=pseudo_dir),
+            # Real features at pseudo-labeled unseen pixels must reach
+            # the classifier CE and the MMD targets (reference ZS5
+            # retrains on the augmented label set, not on generated
+            # stand-ins) — see classifier_training_set/mmd_training_masks.
+            gmmn=dataclasses.replace(cfg.gmmn, self_training=True),
         )
         super().__init__(cfg, seg_variables=seg_variables, mesh=mesh, saver=saver)
         self.pseudo_dir = pseudo_dir
@@ -189,4 +237,5 @@ class ZS5Trainer(GMMNTrainer):
             self.pseudo_dir,
             size=self.cfg.data.crop_size,
             ignore_index=self.cfg.data.ignore_index,
+            confidence=self.cfg.gmmn.pseudo_confidence,
         )
