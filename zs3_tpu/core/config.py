@@ -96,6 +96,16 @@ class DataConfig:
     input_pipeline: str = "python"
     num_workers: int = 4
     shuffle_seed: int = 0
+    # Synthetic-dataset knobs (dataset='synthetic' only).  Class tints
+    # are linear in the deterministic fallback embeddings at this dim;
+    # set gmmn.embed_dim equal to it for an exactly-linear
+    # embedding->appearance map (the zero-shot acceptance test does).
+    synthetic_classes: int = 21
+    synthetic_items: int = 64
+    synthetic_embed_dim: int = 32
+    # Fraction of the class tint blended over noise inside objects
+    # (higher = more learnable appearance).
+    synthetic_tint_weight: float = 0.75
 
 
 @dataclass(frozen=True)

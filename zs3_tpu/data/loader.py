@@ -151,8 +151,26 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
         from zs3_tpu.data.synthetic import SyntheticSegmentation
 
         size = (cfg.crop_size, cfg.crop_size)
-        train_ds = SyntheticSegmentation(64, size, seed=1)
-        val_ds = SyntheticSegmentation(16, size, seed=2)
+        n_cls = cfg.synthetic_classes
+        # Mirror the VOC zero-shot protocol: the seen-training pool never
+        # shows unseen classes (reference filter lbl_contains_unseen);
+        # ZS5 weak-label mode keeps them (pseudo-labels replace GT).
+        if unseen and cfg.weak_label_dir is None:
+            train_classes: Any = tuple(
+                c for c in range(1, n_cls) if c not in unseen
+            )
+        else:
+            train_classes = None
+        train_ds = SyntheticSegmentation(
+            cfg.synthetic_items, size, num_classes=n_cls, seed=1,
+            classes=train_classes, embedding_dim=cfg.synthetic_embed_dim,
+            tint_weight=cfg.synthetic_tint_weight,
+        )
+        val_ds = SyntheticSegmentation(
+            max(16, cfg.synthetic_items // 4), size, num_classes=n_cls,
+            seed=2, embedding_dim=cfg.synthetic_embed_dim,
+            tint_weight=cfg.synthetic_tint_weight,
+        )
         num_classes = train_ds.NUM_CLASSES
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")

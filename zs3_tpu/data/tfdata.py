@@ -13,9 +13,16 @@ message if tensorflow is absent.
 
 Augmentation parity with transforms.py's train composition: random
 hflip -> random scale [0.5, 2.0] -> pad(fill=ignore) -> random crop ->
-normalize.  (Gaussian blur is omitted: tf lacks a cheap exact
-equivalent; its effect in the reference is minor and the python loader
-keeps it.)
+gaussian blur (p=0.5, sigma~U[0,1], separable 7-tap; the reference
+blurs via PIL whose radius parameter plays the same sigma role) ->
+normalize.
+
+Determinism: every random draw is a tf.random.stateless_* op keyed by
+(seed+epoch, example_index) — two iterations at the same set_epoch()
+produce bit-identical batches, so the framework's deterministic-resume
+guarantee holds on this input path too (the reference's torch
+transforms are seed-controllable; the python loader here already keys
+its rng by (seed, epoch, index)).
 """
 
 from __future__ import annotations
@@ -67,24 +74,36 @@ def build_train_pipeline(
     base = cfg.base_size
     fill = cfg.ignore_index
 
-    ds = tf.data.Dataset.from_tensor_slices((images, labels))
-    ds = ds.shuffle(len(images), seed=seed, reshuffle_each_iteration=True)
+    ds = tf.data.Dataset.from_tensor_slices(
+        (images, labels, np.arange(len(images), dtype=np.int32))
+    )
+    # One shuffle per pipeline build (TFDataLoader rebuilds per epoch
+    # with seed+epoch), so epoch order is a pure function of the seed.
+    ds = ds.shuffle(len(images), seed=seed, reshuffle_each_iteration=False)
 
-    def load_and_augment(img_path, lbl_path):
+    def load_and_augment(img_path, lbl_path, idx):
+        def draw(j, minval=0.0, maxval=1.0):
+            """Stateless U[minval,maxval) keyed by (seed, example, slot)."""
+            return tf.random.stateless_uniform(
+                (), seed=tf.stack([tf.constant(seed, tf.int32), idx * 8 + j]),
+                minval=minval, maxval=maxval, dtype=tf.float32,
+            )
+
         img = tf.io.decode_image(
             tf.io.read_file(img_path), channels=3, expand_animations=False
         )
         lbl = tf.io.decode_png(tf.io.read_file(lbl_path), channels=1)
         lbl = lbl[..., 0]
         # random horizontal flip (joint)
-        do_flip = tf.random.uniform(()) < 0.5
+        do_flip = draw(0) < 0.5
         img = tf.cond(do_flip, lambda: img[:, ::-1], lambda: img)
         lbl = tf.cond(do_flip, lambda: lbl[:, ::-1], lambda: lbl)
         # random scale of the short side into [0.5, 2.0] * base
         shape = tf.shape(img)
         h, w = shape[0], shape[1]
-        short = tf.random.uniform(
-            (), int(base * 0.5), int(base * 2.0) + 1, dtype=tf.int32
+        short = tf.cast(
+            draw(1, float(int(base * 0.5)), float(int(base * 2.0) + 1)),
+            tf.int32,
         )
         short_f = tf.cast(short, tf.float32)
         hf, wf = tf.cast(h, tf.float32), tf.cast(w, tf.float32)
@@ -100,10 +119,35 @@ def build_train_pipeline(
         pw = tf.maximum(crop - nw, 0)
         img = tf.pad(img, [[0, ph], [0, pw], [0, 0]])
         lbl = tf.pad(lbl, [[0, ph], [0, pw]], constant_values=float(fill))
-        # joint random crop
-        stacked = tf.concat([img, tf.cast(lbl, tf.float32)[..., None]], axis=-1)
-        stacked = tf.image.random_crop(stacked, (crop, crop, 4))
-        img, lbl = stacked[..., :3], stacked[..., 3]
+        # joint random crop (stateless offsets)
+        oy = tf.cast(
+            draw(2) * tf.cast(tf.maximum(nh + ph - crop, 0) + 1, tf.float32),
+            tf.int32,
+        )
+        ox = tf.cast(
+            draw(3) * tf.cast(tf.maximum(nw + pw - crop, 0) + 1, tf.float32),
+            tf.int32,
+        )
+        img = img[oy : oy + crop, ox : ox + crop]
+        lbl = lbl[oy : oy + crop, ox : ox + crop]
+        img = tf.ensure_shape(img, (crop, crop, 3))
+        lbl = tf.ensure_shape(lbl, (crop, crop))
+        # gaussian blur, p=0.5, sigma ~ U[0,1] (python loader:
+        # random_gaussian_blur).  sigma=0 degenerates to the identity
+        # kernel, so the no-blur branch needs no tf.cond.
+        sigma = tf.where(draw(4) < 0.5, draw(5), 0.0)
+        xs = tf.range(-3.0, 4.0)
+        k = tf.exp(-(xs * xs) / (2.0 * sigma * sigma + 1e-12))
+        k = k / tf.reduce_sum(k)
+        kh = tf.tile(k[:, None, None, None], (1, 1, 3, 1))
+        kw = tf.tile(k[None, :, None, None], (1, 1, 3, 1))
+        blurred = tf.nn.depthwise_conv2d(
+            img[None], kh, strides=[1, 1, 1, 1], padding="SAME"
+        )
+        blurred = tf.nn.depthwise_conv2d(
+            blurred, kw, strides=[1, 1, 1, 1], padding="SAME"
+        )[0]
+        img = blurred
         # normalize (ImageNet)
         img = img / 255.0
         img = (img - tf.constant(IMAGENET_MEAN)) / tf.constant(IMAGENET_STD)

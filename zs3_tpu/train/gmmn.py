@@ -358,11 +358,17 @@ class GMMNTrainer:
 
         # Class names -> embeddings
         names = VOC_CLASSES if cfg.data.dataset != "context" else CONTEXT_CLASSES
-        if cfg.data.dataset == "synthetic":
-            names = tuple(f"class_{i}" for i in range(num_classes))
-        emb = load_class_embeddings(
-            names, cfg.data.embedding_path, cfg.gmmn.embed_dim
-        )
+        if cfg.data.dataset == "synthetic" and cfg.data.embedding_path is None:
+            # The synthetic dataset's class appearance is a linear
+            # function of these embeddings — condition on the SAME ones
+            # so zero-shot transfer is well-posed (and testable).
+            from zs3_tpu.data.synthetic import synthetic_class_embeddings
+
+            emb = synthetic_class_embeddings(num_classes, cfg.gmmn.embed_dim)
+        else:
+            emb = load_class_embeddings(
+                names, cfg.data.embedding_path, cfg.gmmn.embed_dim
+            )
         if emb.shape[1] != cfg.gmmn.embed_dim:
             raise ValueError(
                 f"embedding file {cfg.data.embedding_path!r} has dim "

@@ -5,10 +5,12 @@ run/<dataset>/<checkname>/experiment_N/ directories, checkpoint payloads
 of {step, params, opt state, best metric}, `is_best` tracking, and a
 config dump (the reference writes parameters.txt; we write config.json).
 
-Implementation: orbax PyTreeCheckpointer per step directory + a tiny
-JSON sidecar for scalar bookkeeping.  Resume restores the exact pytree
-structure of a freshly-created state (step-indexed RNG keys make the
-resumed run deterministic).
+Implementation: orbax StandardCheckpointer (the non-deprecated pytree
+surface; saves are async, so save_checkpoint blocks on
+wait_until_finished before touching the directory) per step directory +
+a tiny JSON sidecar for scalar bookkeeping.  Resume restores the exact
+pytree structure of a freshly-created state (step-indexed RNG keys make
+the resumed run deterministic).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ class Saver:
         self.directory = os.path.join(root, f"experiment_{run_id}")
         os.makedirs(self.directory, exist_ok=True)
         self.keep = keep
-        self._ckpt = ocp.PyTreeCheckpointer()
+        self._ckpt = ocp.StandardCheckpointer()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(config.to_json())
@@ -64,6 +66,7 @@ class Saver:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckpt.save(path, jax.device_get(state))
+        self._ckpt.wait_until_finished()
         meta = {"step": step, "best_metric": best_metric, **(extra or {})}
         with open(path + ".json", "w") as f:
             json.dump(meta, f)
@@ -99,9 +102,8 @@ class Saver:
     @staticmethod
     def restore(path: str, target: Any) -> Any:
         """Restore a checkpoint into the structure of `target`."""
-        ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(path, item=jax.device_get(target))
-        return restored
+        ckpt = ocp.StandardCheckpointer()
+        return ckpt.restore(path, target=jax.device_get(target))
 
     @staticmethod
     def latest_checkpoint(experiment_dir: str) -> Optional[str]:
