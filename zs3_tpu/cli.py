@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from typing import Optional
 
@@ -158,7 +159,9 @@ def main(argv=None):
             p.add_argument("--output", type=str, default="predictions")
             p.add_argument("--no-color", action="store_true")
         elif name == "convert-weights":
-            p.add_argument("pth", help="torchvision-named ResNet state_dict .pth")
+            p.add_argument("pth", help="upstream-named backbone state_dict "
+                           ".pth (torchvision resnet, reference xception/"
+                           "mobilenet/drn namings)")
             p.add_argument("--output", type=str, required=True,
                            help="checkpoint directory to write (use with --resume --ft)")
     args = parser.parse_args(argv)
@@ -205,15 +208,16 @@ def main(argv=None):
 
         from zs3_tpu.models.deeplab import build_deeplab
         from zs3_tpu.train.state import create_seg_state
-        from zs3_tpu.utils.torch_convert import load_pretrained_resnet
+        from zs3_tpu.utils.torch_convert import load_pretrained_backbone
 
         model = build_deeplab(cfg.model)
         state = create_seg_state(
             model, cfg, jax.random.key(cfg.train.seed),
             (1, cfg.data.crop_size, cfg.data.crop_size, 3), total_steps=1,
         )
-        variables = load_pretrained_resnet(
-            {"params": state.params, "batch_stats": state.batch_stats}, args.pth
+        variables = load_pretrained_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.pth, cfg.model.backbone,
         )
         state = state.replace(
             params=variables["params"], batch_stats=variables["batch_stats"]
@@ -221,7 +225,12 @@ def main(argv=None):
         import orbax.checkpoint as ocp
 
         ckpt_path = args.output
-        ocp.PyTreeCheckpointer().save(ckpt_path, jax.device_get(state))
+        ckpt = ocp.StandardCheckpointer()
+        # orbax refuses to overwrite: write into an empty target only.
+        if os.path.isdir(ckpt_path) and not os.listdir(ckpt_path):
+            os.rmdir(ckpt_path)
+        ckpt.save(ckpt_path, jax.device_get(state))
+        ckpt.wait_until_finished()
         result = {"checkpoint": ckpt_path,
                   "usage": "pass via --resume with --ft for pretrained init"}
     else:  # pragma: no cover

@@ -100,17 +100,33 @@ class XceptionBlock(nn.Module):
                 name="skip_bn",
             )(skip, train=train)
 
-        y = x
+        # Unit plan mirrors the reference Block (zs3/modeling/backbone/
+        # xception.py class Block [M recalled structure]): a grow-first
+        # (or grow-last) rep chain at the block dilation, then an EXTRA
+        # separable conv carrying the stride — or, for stride-1 blocks
+        # marked is_last (entry block3 at os8, exit block20), an extra
+        # stride-1 conv so the layer count is stride-independent.  The
+        # extra unit uses dilation 1 (the reference constructs it with
+        # SeparableConv2d's default dilation).
+        units = []  # (out_channels, stride, dilation)
         width = self.planes if self.grow_first else cin
-        for r in range(self.reps):
+        if self.grow_first:
+            units.append((self.planes, 1, self.dilation))
+        for _ in range(self.reps - 1):
+            units.append((width, 1, self.dilation))
+        if not self.grow_first:
+            units.append((self.planes, 1, self.dilation))
+        if self.stride != 1:
+            units.append((self.planes, self.stride, 1))
+        elif self.is_last:
+            units.append((self.planes, 1, 1))
+
+        y = x
+        for r, (out_ch, s, dil) in enumerate(units):
             if r > 0 or self.start_with_relu:
                 y = nn.relu(y)
-            out_ch = self.planes if (self.grow_first or r == self.reps - 1) else width
-            # the strided (or last) separable conv sits at the end
-            s = self.stride if r == self.reps - 1 else 1
             y = SeparableConv(
-                out_ch, stride=s, dilation=self.dilation, **bn_kw,
-                name=f"sep{r}",
+                out_ch, stride=s, dilation=dil, **bn_kw, name=f"sep{r}"
             )(y, train=train)
         return y + skip
 
@@ -156,12 +172,13 @@ class AlignedXception(nn.Module):
         x = nn.relu(bn("bn2")(x, train=train))
         x = XceptionBlock(128, 2, stride=2, start_with_relu=False, **bn_kw,
                           name="block1")(x, train=train)
-        low_level = x  # 128ch @ os4
         x = nn.relu(x)
+        low_level = x  # 128ch @ os4 (reference taps after the relu)
         x = XceptionBlock(256, 2, stride=2, **bn_kw, name="block2")(x, train=train)
-        x = XceptionBlock(728, 2, stride=entry3_stride, **bn_kw, name="block3")(
-            x, train=train
-        )
+        # block3 is is_last so its unit count is stride-independent
+        # (at os8 its stride collapses to 1 and the extra conv remains).
+        x = XceptionBlock(728, 2, stride=entry3_stride, is_last=True, **bn_kw,
+                          name="block3")(x, train=train)
         # Middle flow: 16 blocks
         for i in range(4, 20):
             x = XceptionBlock(
