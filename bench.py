@@ -52,8 +52,9 @@ def main():
         return jnp.sum(logits.astype(jnp.float32))
 
     best = 0.0
+    best_flops = float("nan")
     on_tpu = dev.platform != "cpu"
-    batches = [32, 64] if on_tpu else [1]
+    batches = [32, 64, 128] if on_tpu else [1]
     n_iters = 10 if on_tpu else 2
     for batch in batches:
         x = jax.device_put(
@@ -73,7 +74,17 @@ def main():
         dt = time.perf_counter() - t0
         assert all(jnp.isfinite(float(r)) for r in results)
         ips = batch * n_iters / dt
-        best = max(best, ips)
+        if ips > best:
+            best = ips
+            try:
+                best_flops = (
+                    forward.lower(variables, x, 0.0)
+                    .compile()
+                    .cost_analysis()["flops"]
+                    / batch
+                )
+            except Exception:
+                best_flops = float("nan")
 
     # First honest measurement of this rebuild (v5e, B32, serial forcing)
     # — the fixed denominator so vs_baseline tracks optimization progress.
@@ -81,6 +92,14 @@ def main():
     # target is empirical speed-of-light.)
     DEFAULT_BASELINE = 365.254
     vs = best / DEFAULT_BASELINE
+    # MFU against the v5e NOMINAL bf16 peak (394 TF/s).  Context (see
+    # DESIGN.md §4-5): the best *measured* sustained rate on this relay-
+    # attached chip is ~184 TF/s for a pure 8192^3 bf16 matmul chain, so
+    # nominal MFU understates how close the network is to the device's
+    # real envelope; mfu_sustained reports against that measured ceiling.
+    NOMINAL_TFS = 394.0
+    SUSTAINED_TFS = 184.0
+    tfs = best * best_flops / 1e12 if best_flops == best_flops else float("nan")
     print(
         json.dumps(
             {
@@ -88,6 +107,11 @@ def main():
                 "value": round(best, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(vs, 4),
+                "tflops_per_sec": round(tfs, 1) if tfs == tfs else None,
+                "mfu_nominal": round(tfs / NOMINAL_TFS, 4) if tfs == tfs else None,
+                "mfu_vs_sustained_ceiling": (
+                    round(tfs / SUSTAINED_TFS, 4) if tfs == tfs else None
+                ),
             }
         )
     )

@@ -55,6 +55,7 @@ def test_show_config(capsys):
     assert json.loads(out)["model"]["backbone"] == "resnet101"
 
 
+@pytest.mark.slow
 def test_cli_train_end_to_end(tmp_path, capsys):
     rc = main(
         ["train-seen", "--dataset", "synthetic", "--crop-size", "65",

@@ -152,6 +152,7 @@ def test_weak_label_dataset_override(tmp_path):
     np.testing.assert_array_equal(wrapped[0]["label"], ds[0]["label"])
 
 
+@pytest.mark.slow
 def test_zs5_trainer_end_to_end(zs5_cfg):
     t = ZS5Trainer(zs5_cfg)
     # ZS5 runs the fused step in self-training mode (real unseen

@@ -57,6 +57,7 @@ def test_sharded_train_step_runs(mesh8):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(mesh8):
     """Global-batch semantics: 8-way sharded grads == unsharded grads."""
     state, batch = _tiny_state_and_batch(mesh8)
@@ -80,6 +81,7 @@ def test_sharded_matches_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_batch_stats_are_global_under_sharding(mesh8):
     """BN must see the global batch: sharded batch_stats == unsharded."""
     state, batch = _tiny_state_and_batch(mesh8)

@@ -129,6 +129,7 @@ def test_make_data_loader_tfdata(voc_tree):
     assert vb["image"].shape == (2, 33, 33, 3)
 
 
+@pytest.mark.slow
 def test_tfdata_feeds_seen_trainer(voc_tree, tmp_path):
     """The tf.data pipeline must drive SeenTrainer end to end."""
     import dataclasses

@@ -16,6 +16,8 @@ from zs3_tpu.core.config import (
 )
 from zs3_tpu.train.seen import SeenTrainer
 
+pytestmark = pytest.mark.slow  # trainer e2e: quick tier skips (-m 'not slow')
+
 
 @pytest.fixture()
 def tiny_cfg(tmp_path):

@@ -149,6 +149,7 @@ def test_graph_context_trainer_smoke(zs3_cfg):
     assert "harmonic_miou" in report
 
 
+@pytest.mark.slow
 def test_gmmn_trainer_pallas_backend(zs3_cfg):
     """The Pallas MMD path must train identically-shaped to the jnp path
     (interpret mode on CPU) and produce a finite, positive MMD."""
