@@ -121,6 +121,76 @@ class ConvBN(nn.Module):
         return x
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter holder (path <parent>/conv/kernel, the
+    same tree position nn.Conv would create, so converters/checkpoints
+    are layout-identical)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+def stem_conv_s2d(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
+    """EXACT space-to-depth rewrite of conv(7x7, stride 2, pad 3).
+
+    The direct 7x7/s2 stem runs at ~14 TF/s on v5e because C_in=3
+    starves the MXU's 128-lane contraction (measured, DESIGN.md §4).
+    Rearranging 2x2 input blocks into channels turns it into a 4x4
+    stride-1 VALID conv with 4*C_in input channels — identical math
+    (tap-for-tap; the only difference is float summation order).  The
+    trick comes from the public TPU ResNet/MLPerf lineage, but MEASURED
+    SLOWER here (7.8 vs 5.9 ms at B64: the (..., 2, 2, 3)->(..., 12)
+    phase transpose is itself lane-starved at 3 channels), so
+    ResNetAtrous defaults it off; kept as a tested negative result.
+    """
+    b, h, w, c = x.shape
+    feats = kernel.shape[-1]
+    hs, ws = (h + 7) // 2, (w + 7) // 2
+    x = x.astype(dtype)
+    xp = jnp.pad(x, ((0, 0), (3, 2 * hs - h - 3), (3, 2 * ws - w - 3), (0, 0)))
+    xs = (
+        xp.reshape(b, hs, 2, ws, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, hs, ws, 4 * c)
+    )
+    # w4[p, q, (2*pa+qa)*c + ci, o] = w[2p+pa, 2q+qa, ci, o]
+    w4 = jnp.zeros((4, 4, 4 * c, feats), kernel.dtype)
+    for pa in range(2):
+        for qa in range(2):
+            sub = kernel[pa::2, qa::2]
+            ph = (2 * pa + qa) * c
+            w4 = w4.at[: sub.shape[0], : sub.shape[1], ph : ph + c, :].set(sub)
+    return jax.lax.conv_general_dilated(
+        xs, w4.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class StemConv(nn.Module):
+    """7x7/2 pad-3 stem conv; dispatches to the space-to-depth rewrite
+    (exact, faster on TPU) unless s2d=False.  Param tree matches the
+    plain Conv wrapper (<name>/conv/kernel)."""
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = _Kernel(shape=(7, 7, x.shape[-1], self.features), name="conv")()
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+                [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return stem_conv_s2d(x, kernel, self.dtype)
+
+
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1) equivalent."""
     return nn.max_pool(

@@ -84,6 +84,11 @@ class ResNetAtrous(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     stem_width: int = 64
+    # Exact space-to-depth rewrite of the 7x7/s2 stem conv.  Measured
+    # SLOWER on v5e (7.8 vs 5.9 ms/B64: the 3-channel phase rearrange is
+    # itself lane-starved), so off by default — kept as a documented,
+    # tested negative result (DESIGN.md §4).
+    stem_s2d: bool = False
     # Rematerialize each bottleneck in the backward pass: trades ~30%
     # extra forward FLOPs for O(depth) less activation memory, unlocking
     # large-batch training at 513^2 (without it XLA's automatic remat
@@ -103,13 +108,15 @@ class ResNetAtrous(nn.Module):
         else:
             raise ValueError(f"output_stride must be 8 or 16, got {self.output_stride}")
 
-        # Stem: 7x7/2 pad 3 -> BN -> ReLU -> maxpool 3x3/2 pad 1  (os4)
-        x = Conv(
-            self.stem_width,
-            kernel_size=7,
-            stride=2,
-            padding=3,
+        # Stem: 7x7/2 pad 3 -> BN -> ReLU -> maxpool 3x3/2 pad 1  (os4).
+        # The 7x7 runs as an exact space-to-depth 4x4 conv (C_in=3
+        # starves the MXU otherwise; see layers.stem_conv_s2d).
+        from zs3_tpu.models.layers import StemConv
+
+        x = StemConv(
+            features=self.stem_width,
             dtype=self.dtype,
+            s2d=self.stem_s2d,
             name="stem_conv",
         )(x)
         x = BatchNorm(
