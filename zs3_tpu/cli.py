@@ -65,6 +65,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
     p.add_argument("--graph-context", action="store_true", default=None)
     p.add_argument("--pixels-per-class", type=int)
+    p.add_argument("--eval-scales", type=str,
+                   help="comma-separated TTA scales, e.g. 0.5,0.75,1.0,1.25"
+                        " (default: 1.0 = reference single-scale)")
+    p.add_argument("--eval-flip", action="store_true", default=None,
+                   help="add horizontal-mirror TTA at evaluation")
 
 
 def build_config(args: argparse.Namespace) -> Config:
@@ -138,6 +143,12 @@ def build_config(args: argparse.Namespace) -> Config:
             checkname=args.checkname,
             checkpoint_dir=args.checkpoint_dir,
             eval_interval=eval_interval,
+            eval_scales=(
+                tuple(float(s) for s in args.eval_scales.split(","))
+                if args.eval_scales
+                else None
+            ),
+            eval_flip=args.eval_flip,
         ),
     )
     return cfg
@@ -158,6 +169,10 @@ def main(argv=None):
             p.add_argument("images", nargs="+", help="image files to segment")
             p.add_argument("--output", type=str, default="predictions")
             p.add_argument("--no-color", action="store_true")
+            p.add_argument("--sliding", action="store_true",
+                           help="native-resolution sliding-window inference "
+                                "(overlapping crops, averaged probabilities) "
+                                "instead of a global resize")
         elif name == "convert-weights":
             p.add_argument("pth", help="upstream-named backbone state_dict "
                            ".pth (torchvision resnet, reference xception/"
@@ -200,7 +215,8 @@ def main(argv=None):
 
         predictor = Predictor(cfg)
         written = predictor.predict_files(
-            args.images, args.output, colorize=not args.no_color
+            args.images, args.output, colorize=not args.no_color,
+            sliding=args.sliding,
         )
         result = {"written": len(written), "output": args.output}
     elif args.command == "convert-weights":

@@ -156,6 +156,12 @@ class TrainConfig:
     # Mesh axes: (name, size). Size -1 = all remaining devices.
     mesh_axes: Tuple[Tuple[str, int], ...] = (("data", -1),)
     donate_state: bool = True
+    # Test-time augmentation for validation: average softmax probs over
+    # these input scales (+ horizontal mirror when eval_flip).  Defaults
+    # reproduce the reference's single-scale protocol; (0.5, 0.75, 1.0,
+    # 1.25, 1.5, 1.75) + flip is the DeepLab-lineage "ms+flip" mode.
+    eval_scales: Tuple[float, ...] = (1.0,)
+    eval_flip: bool = False
 
 
 @dataclass(frozen=True)

@@ -160,7 +160,6 @@ def _block_call(xf, params, *, h, w, wt, pl_pad, th, dilation, interpret):
         _kernel, th=th, wt=wt, w=w, pl_pad=pl_pad, cin=cin,
         planes=planes, dilation=d, h=h,
     )
-    halo = pl.BlockSpec((1, d * wt, cin), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(bsz, t),

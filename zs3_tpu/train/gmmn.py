@@ -430,9 +430,23 @@ class GMMNTrainer:
             cfg.gmmn.graph_context,
             donate=cfg.train.donate_state,
         )
-        self.eval_fn = make_zs3_eval_step(
-            self.model, num_classes, cfg.data.ignore_index
-        )
+        if tuple(cfg.train.eval_scales) != (1.0,) or cfg.train.eval_flip:
+            from zs3_tpu.metrics.tta import make_tta_eval_step
+
+            tta = make_tta_eval_step(
+                lambda v, x: self.model.apply(v, x, train=False),
+                num_classes,
+                cfg.data.ignore_index,
+                cfg.train.eval_scales,
+                cfg.train.eval_flip,
+            )
+            self.eval_fn = lambda trunk, cls, batch: tta(
+                splice_classifier(trunk, cls), batch
+            )
+        else:
+            self.eval_fn = make_zs3_eval_step(
+                self.model, num_classes, cfg.data.ignore_index
+            )
         self.saver = saver or Saver(
             cfg.train.checkpoint_dir,
             cfg.data.dataset,

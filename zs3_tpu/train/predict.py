@@ -48,6 +48,11 @@ class Predictor:
                 self.model.apply(v, x, train=False), axis=-1
             ).astype(jnp.int32)
         )
+        self._logits = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False).astype(
+                jnp.float32
+            )
+        )
 
     def predict_array(self, image: np.ndarray) -> np.ndarray:
         """HWC uint8 image -> HW int32 label map at native resolution."""
@@ -91,12 +96,78 @@ class Predictor:
             )
         return out
 
+    def predict_sliding(
+        self,
+        image: np.ndarray,
+        overlap: float = 1 / 3,
+        window_batch: int = 8,
+    ) -> np.ndarray:
+        """Native-resolution prediction by sliding crop-size windows.
+
+        Production inference for images larger than the training crop:
+        tiles the image with `overlap` fraction of window overlap
+        (edge-aligned final rows/columns), averages softmax
+        probabilities where windows overlap, and argmaxes at full
+        resolution — no information-destroying global resize.  Windows
+        run through one fixed-shape jit forward in batches of
+        `window_batch` (a single compilation).
+        """
+        crop = self.cfg.data.crop_size
+        h, w = image.shape[:2]
+        # pad small images up to the window size (ImageNet-mean pixels
+        # become zeros after normalization)
+        ph, pw = max(crop - h, 0), max(crop - w, 0)
+        if ph or pw:
+            from zs3_tpu.data.transforms import IMAGENET_MEAN
+
+            canvas = np.empty((h + ph, w + pw, 3), image.dtype)
+            canvas[:] = (np.array(IMAGENET_MEAN) * 255).astype(image.dtype)
+            canvas[:h, :w] = image
+            image = canvas
+        hp, wp = image.shape[:2]
+        norm = normalize(
+            {"image": image, "label": np.zeros((hp, wp), np.uint8)}
+        )["image"]
+        stride = max(int(round(crop * (1 - overlap))), 1)
+
+        def starts(extent):
+            ss = list(range(0, max(extent - crop, 0) + 1, stride))
+            if ss[-1] != extent - crop:
+                ss.append(extent - crop)
+            return ss
+
+        wins = [(y, x) for y in starts(hp) for x in starts(wp)]
+        num_classes = self.cfg.model.num_classes
+        probs = np.zeros((hp, wp, num_classes), np.float32)
+        count = np.zeros((hp, wp, 1), np.float32)
+        for i in range(0, len(wins), window_batch):
+            chunk = wins[i : i + window_batch]
+            tiles = np.stack(
+                [norm[y : y + crop, x : x + crop] for (y, x) in chunk]
+            )
+            n_real = len(chunk)
+            if n_real < window_batch:  # keep the jit shape fixed
+                tiles = np.concatenate(
+                    [tiles, np.repeat(tiles[:1], window_batch - n_real, 0)]
+                )
+            logits = np.asarray(
+                self._logits(self.variables, jnp.asarray(tiles))
+            )[:n_real]
+            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            p = e / e.sum(axis=-1, keepdims=True)
+            for (y, x), pw_ in zip(chunk, p):
+                probs[y : y + crop, x : x + crop] += pw_
+                count[y : y + crop, x : x + crop] += 1.0
+        pred = np.argmax(probs / np.maximum(count, 1.0), axis=-1)
+        return pred[:h, :w].astype(np.int32)
+
     def predict_files(
         self,
         paths: Iterable[str],
         out_dir: str,
         colorize: bool = True,
         batch_size: int = 8,
+        sliding: bool = False,
     ) -> List[str]:
         os.makedirs(out_dir, exist_ok=True)
         paths = list(paths)
@@ -104,11 +175,14 @@ class Predictor:
         for start in range(0, len(paths), batch_size):
             chunk = paths[start : start + batch_size]
             images = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
-            # pad the final chunk so the jit predict sees one batch shape
             n_real = len(images)
-            while len(images) < batch_size:
-                images.append(images[0])
-            preds = self.predict_batch(images)[:n_real]
+            if sliding:
+                preds = [self.predict_sliding(img) for img in images]
+            else:
+                # pad the final chunk so the jit predict sees one batch shape
+                while len(images) < batch_size:
+                    images.append(images[0])
+                preds = self.predict_batch(images)[:n_real]
             for path, pred in zip(chunk, preds):
                 stem = os.path.splitext(os.path.basename(path))[0]
                 raw = os.path.join(out_dir, stem + ".png")

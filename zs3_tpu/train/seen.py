@@ -175,7 +175,23 @@ class SeenTrainer:
             cfg.data.device_preprocess,
             cfg.optim.loss_at,
         )
-        self.eval_step = make_eval_step(num_classes, cfg.data.ignore_index)
+        if tuple(cfg.train.eval_scales) != (1.0,) or cfg.train.eval_flip:
+            # ms+flip TTA (DeepLab-lineage reporting mode; reference is
+            # single-scale, which stays the default path below).
+            from zs3_tpu.metrics.tta import make_tta_eval_step
+
+            tta = make_tta_eval_step(
+                lambda v, x: self.model.apply(v, x, train=False),
+                num_classes,
+                cfg.data.ignore_index,
+                cfg.train.eval_scales,
+                cfg.train.eval_flip,
+            )
+            self.eval_step = lambda state, batch: tta(
+                state.eval_variables(), batch
+            )
+        else:
+            self.eval_step = make_eval_step(num_classes, cfg.data.ignore_index)
         self.num_classes = num_classes
         self.saver = saver or Saver(
             cfg.train.checkpoint_dir,
