@@ -1,0 +1,94 @@
+"""Inference server + auto-resume + profile command."""
+
+import http.client
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from zs3_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def server():
+    from zs3_tpu.serve import InferenceServer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=5, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(dataset="synthetic", crop_size=33, base_size=33),
+    )
+    srv = InferenceServer(cfg, port=0).start(warmup=True)
+    yield srv
+    srv.stop()
+
+
+def _conn(server):
+    return http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+
+
+def test_healthz_and_info(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["warm"] is True
+    c.request("GET", "/info")
+    info = json.loads(c.getresponse().read())
+    assert info["num_classes"] == 5 and info["crop_size"] == 33
+
+
+def test_predict_roundtrip(server, rng):
+    img = Image.fromarray(
+        rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    c = _conn(server)
+    c.request("POST", "/predict", body=buf.getvalue())
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "image/png"
+    pred = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert pred.shape == (40, 50)
+    assert pred.max() < 5
+    # colorized + sliding variants
+    c.request("POST", "/predict?color=1&sliding=1", body=buf.getvalue())
+    r = c.getresponse()
+    color = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert color.shape == (40, 50, 3)
+
+
+def test_predict_bad_body(server):
+    c = _conn(server)
+    c.request("POST", "/predict", body=b"not an image")
+    assert c.getresponse().status == 400
+    c.request("POST", "/nope", body=b"x")
+    assert c.getresponse().status == 404
+
+
+@pytest.mark.slow
+def test_cli_auto_resume_and_profile(tmp_path):
+    """--auto-resume picks up the newest checkpoint; profile times steps."""
+    from zs3_tpu.cli import main
+
+    common = [
+        "--dataset", "synthetic", "--crop-size", "33", "--batch-size", "8",
+        "--backbone", "resnet50", "--compute-dtype", "float32",
+        "--checkpoint-dir", str(tmp_path / "run"), "--epochs", "1",
+        "--steps-per-epoch", "1",
+    ]
+    assert main(["train-seen"] + common) == 0
+    # second run auto-resumes from the first's checkpoint
+    assert main(["train-seen"] + common + ["--auto-resume"]) == 0
+    from zs3_tpu.utils.saver import Saver
+
+    exp = Saver.latest_experiment(str(tmp_path / "run"), "synthetic",
+                                  "deeplab-resnet101")
+    assert exp is not None
+    # profile command produces finite timings
+    assert main(["profile"] + common + ["--steps", "2"]) == 0

@@ -70,6 +70,10 @@ def _add_common(p: argparse.ArgumentParser):
                         " (default: 1.0 = reference single-scale)")
     p.add_argument("--eval-flip", action="store_true", default=None,
                    help="add horizontal-mirror TTA at evaluation")
+    p.add_argument("--auto-resume", action="store_true", default=None,
+                   help="resume from the newest checkpoint of the newest "
+                        "experiment for this (dataset, checkname), if any "
+                        "(crash recovery without hunting for paths)")
 
 
 def build_config(args: argparse.Namespace) -> Config:
@@ -161,10 +165,20 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     for name in (
         "train-seen", "train-gmmn", "train-zs5",
-        "evaluate", "evaluate-gmmn", "infer", "convert-weights", "show-config",
+        "evaluate", "evaluate-gmmn", "infer", "convert-weights",
+        "show-config", "profile", "serve",
     ):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "serve":
+            p.add_argument("--host", type=str, default="127.0.0.1")
+            p.add_argument("--port", type=int, default=8500)
+        if name == "profile":
+            p.add_argument("--steps", type=int, default=10,
+                           help="train steps to time (first is warmup)")
+            p.add_argument("--trace-dir", type=str, default=None,
+                           help="write a jax.profiler XLA trace here "
+                                "(TensorBoard/Perfetto-viewable)")
         if name == "infer":
             p.add_argument("images", nargs="+", help="image files to segment")
             p.add_argument("--output", type=str, default="predictions")
@@ -181,6 +195,24 @@ def main(argv=None):
                            help="checkpoint directory to write (use with --resume --ft)")
     args = parser.parse_args(argv)
     cfg = build_config(args)
+
+    if getattr(args, "auto_resume", None):
+        from zs3_tpu.utils.saver import Saver
+
+        # GMMN-stage trainers checkpoint under "<checkname>-gmmn" and
+        # resume through gmmn_resume; the seen stage uses resume.
+        gmmn_stage = args.command in ("train-gmmn", "train-zs5")
+        checkname = cfg.train.checkname + ("-gmmn" if gmmn_stage else "")
+        field = "gmmn_resume" if gmmn_stage else "resume"
+        exp = Saver.latest_experiment(
+            cfg.train.checkpoint_dir, cfg.data.dataset, checkname
+        )
+        if exp and not getattr(cfg.train, field):
+            ckpt = Saver.latest_checkpoint(exp)
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, **{field: ckpt})
+            )
+            print(f"auto-resume: {ckpt}", file=sys.stderr)
 
     if args.command == "show-config":
         print(cfg.to_json())
@@ -219,6 +251,49 @@ def main(argv=None):
             sliding=args.sliding,
         )
         result = {"written": len(written), "output": args.output}
+    elif args.command == "serve":
+        from zs3_tpu.serve import InferenceServer
+
+        server = InferenceServer(cfg, host=args.host, port=args.port)
+        print(
+            json.dumps({"serving": f"http://{args.host}:{server.port}"}),
+            file=sys.stderr,
+        )
+        server.serve_forever()
+        return 0
+    elif args.command == "profile":
+        # Timed (optionally XLA-traced) train steps on one real batch:
+        # the reference has no profiler at all (SURVEY.md §5); this is
+        # the per-step observability entry point.
+        import contextlib
+
+        from zs3_tpu.train.seen import SeenTrainer
+        from zs3_tpu.utils.profiling import StepTimer, force
+        from zs3_tpu.utils.profiling import trace as profiler_trace
+
+        trainer = SeenTrainer(cfg)
+        batch = trainer._device_batch(next(iter(trainer.train_loader)))
+        timer = StepTimer(warmup=1)
+        ctx = (
+            profiler_trace(args.trace_dir)
+            if args.trace_dir
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            for _ in range(max(args.steps, 2)):
+                with timer:
+                    trainer.state, out = trainer.train_step(
+                        trainer.state, batch, trainer.rng
+                    )
+                    force(out["loss"])
+        bsz = cfg.data.batch_size
+        result = {
+            "steps": max(args.steps, 2) - 1,
+            "mean_step_ms": round(timer.mean * 1000, 2),
+            "p50_step_ms": round(timer.p50 * 1000, 2),
+            "images_per_sec": round(bsz * timer.steps_per_sec(), 2),
+            "trace_dir": args.trace_dir,
+        }
     elif args.command == "convert-weights":
         import jax
 

@@ -1,0 +1,177 @@
+"""Lightweight segmentation inference server (stdlib-only HTTP).
+
+The reference has no serving story (research scripts only, SURVEY.md
+§1); production deployment needs one.  This module serves a trained
+checkpoint over HTTP with zero dependencies beyond the standard
+library:
+
+  GET  /healthz            -> {"status": "ok", "warm": true, ...}
+  GET  /info               -> model/config summary
+  POST /predict            -> raw label map as PNG (mode L)
+       ?color=1            -> VOC-palette colorized PNG instead
+       ?sliding=1          -> native-resolution sliding-window inference
+       body: image file bytes (any PIL-readable format)
+
+TPU shape: the Predictor's jit forward compiles ONCE at a fixed crop
+size during warmup; requests share it (fixed shapes, no per-request
+compilation).  The device is serialized behind a lock — JAX dispatch is
+thread-safe but ordering keeps tail latencies predictable on one chip;
+scale-out is N processes behind any load balancer, one chip each.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from zs3_tpu.core.config import Config
+from zs3_tpu.train.predict import Predictor
+from zs3_tpu.utils.viz import decode_segmap
+
+
+class SegmentationService:
+    """Predictor wrapper with warmup + single-device serialization."""
+
+    def __init__(self, cfg: Config, checkpoint: Optional[str] = None):
+        self.cfg = cfg
+        self.predictor = Predictor(cfg, checkpoint)
+        self._lock = threading.Lock()
+        self.warm = False
+
+    def warmup(self):
+        size = self.cfg.data.crop_size
+        dummy = np.zeros((size, size, 3), np.uint8)
+        with self._lock:
+            self.predictor.predict_array(dummy)
+        self.warm = True
+
+    def predict_png(
+        self, image_bytes: bytes, color: bool = False, sliding: bool = False
+    ) -> bytes:
+        image = np.asarray(
+            Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        )
+        with self._lock:
+            if sliding:
+                pred = self.predictor.predict_sliding(image)
+            else:
+                pred = self.predictor.predict_array(image)
+        if color:
+            out = Image.fromarray(
+                decode_segmap(pred, self.cfg.model.num_classes)
+            )
+        else:
+            out = Image.fromarray(pred.astype(np.uint8), mode="L")
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def info(self) -> dict:
+        return {
+            "backbone": self.cfg.model.backbone,
+            "num_classes": self.cfg.model.num_classes,
+            "crop_size": self.cfg.data.crop_size,
+            "output_stride": self.cfg.model.output_stride,
+            "warm": self.warm,
+        }
+
+
+def _make_handler(service: SegmentationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/healthz":
+                self._json(200, {"status": "ok", "warm": service.warm})
+            elif path == "/info":
+                self._json(200, service.info())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/predict":
+                self._json(404, {"error": f"unknown path {path}"})
+                return
+            opts = dict(
+                kv.split("=", 1) for kv in query.split("&") if "=" in kv
+            )
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST image bytes"})
+                return
+            data = self.rfile.read(length)
+            try:
+                png = service.predict_png(
+                    data,
+                    color=opts.get("color") == "1",
+                    sliding=opts.get("sliding") == "1",
+                )
+            except Exception as e:  # bad image, etc.
+                self._json(400, {"error": str(e)[:200]})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return Handler
+
+
+class InferenceServer:
+    """ThreadingHTTPServer wrapper with background start/stop (tests,
+    embedding) and a blocking serve_forever (CLI)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        checkpoint: Optional[str] = None,
+        host: str = "127.0.0.1",
+        port: int = 8500,
+    ):
+        self.service = SegmentationService(cfg, checkpoint)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.service)
+        )
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            self.service.warmup()
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self, warmup: bool = True):
+        if warmup:
+            self.service.warmup()
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

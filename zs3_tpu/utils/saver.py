@@ -120,3 +120,27 @@ class Saver:
     def best_checkpoint(experiment_dir: str) -> Optional[str]:
         best = os.path.join(experiment_dir, "best")
         return best if os.path.exists(best) else None
+
+    @staticmethod
+    def latest_experiment(
+        base_dir: str, dataset: str, checkname: str
+    ) -> Optional[str]:
+        """Most recent experiment_N directory for (dataset, checkname),
+        or None.  Powers --auto-resume: crash recovery without manually
+        hunting for the newest checkpoint path."""
+        root = os.path.join(base_dir, dataset, checkname)
+        if not os.path.isdir(root):
+            return None
+        runs = sorted(
+            (
+                int(d.split("_")[-1])
+                for d in os.listdir(root)
+                if d.startswith("experiment_") and d.split("_")[-1].isdigit()
+            ),
+            reverse=True,
+        )
+        for run_id in runs:
+            exp = os.path.join(root, f"experiment_{run_id}")
+            if Saver.latest_checkpoint(exp):
+                return exp
+        return None
