@@ -60,3 +60,40 @@ def spatially_sharded_forward(
         in_shardings=(rep, x_sharding),
         out_shardings=x_sharding,
     )
+
+
+def spatially_sharded_train_step(
+    loss_fn,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    space_axis: str = "space",
+    donate: bool = False,
+    loss_at: str = "full",
+):
+    """Supervised train step with batches sharded (batch over `data`,
+    H over `space`) — resolution scale-out TRAINING, not just inference.
+
+    The backward pass's conv-gradient halo exchanges are XLA-inserted
+    exactly like the forward's; gradients and BN statistics reduce over
+    both mesh axes (global-batch semantics), so numerics match the
+    single-device step up to reduction order
+    (tests/test_spatial.py::test_spatial_train_step*).
+    """
+    from zs3_tpu.train.seen import make_train_step
+
+    x_sh = spatial_batch_sharding(mesh, data_axis, space_axis)
+    lbl_sh = NamedSharding(
+        mesh,
+        P(
+            data_axis if data_axis in mesh.shape else None,
+            space_axis if space_axis in mesh.shape else None,
+            None,
+        ),
+    )
+    rep = NamedSharding(mesh, P())
+    return make_train_step(
+        loss_fn,
+        donate=donate,
+        loss_at=loss_at,
+        in_shardings=(rep, {"image": x_sh, "label": lbl_sh}, rep),
+    )

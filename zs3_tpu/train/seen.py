@@ -39,8 +39,24 @@ def make_train_step(
     donate: bool = True,
     device_preprocess: bool = False,
     loss_at: str = "full",
+    in_shardings=None,
+    out_shardings=None,
 ):
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    """jit-compiled supervised train step.
+
+    in_shardings/out_shardings (optional) forward to jax.jit — used by
+    parallel.spatial to pin a (data x space) batch layout; the default
+    lets shardings propagate from the inputs (plain data parallelism).
+    """
+    jit_kwargs = {}
+    if in_shardings is not None:
+        jit_kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = out_shardings
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,) if donate else (), **jit_kwargs
+    )
     def train_step(
         state: SegTrainState, batch: Dict[str, jax.Array], rng: jax.Array
     ) -> Tuple[SegTrainState, Dict[str, jax.Array]]:
