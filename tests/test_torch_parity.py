@@ -118,3 +118,59 @@ def test_full_deeplab_parity(rng):
 def test_converter_rejects_garbage():
     with pytest.raises(ValueError):
         convert_torchvision_resnet({"not_a_real_key.weight": np.zeros((1,))})
+
+
+@pytest.mark.parametrize("naming", ["sequential", "fc"])
+def test_gmmn_converter_parity(naming):
+    """A torch GMMNnetwork-shaped MLP (Linear + LeakyReLU 0.2 + Linear +
+    ReLU, reference zs3/modeling/gmmn.py class GMMNnetwork) converts to
+    GMMNGenerator params that reproduce its forward exactly, under both
+    public checkpoint namings (main.K Sequential / fc1,fc2)."""
+    from zs3_tpu.models.gmmn import GMMNGenerator
+    from zs3_tpu.utils.torch_convert import convert_gmmn
+
+    embed_dim, noise_dim, hidden, feat = 12, 10, 32, 16
+    torch.manual_seed(7)
+    tmodel = torch.nn.Sequential(
+        torch.nn.Linear(embed_dim + noise_dim, hidden),
+        torch.nn.LeakyReLU(0.2),
+        torch.nn.Dropout(0.0),
+        torch.nn.Linear(hidden, feat),
+        torch.nn.ReLU(),
+    )
+    tmodel.eval()
+    sd = tmodel.state_dict()  # keys 0.weight, 0.bias, 3.weight, 3.bias
+    if naming == "fc":
+        sd = {
+            {"0": "fc1", "3": "fc2"}[k.split(".")[0]] + "." + k.split(".")[1]: v
+            for k, v in sd.items()
+        }
+    else:
+        sd = {f"main.{k}": v for k, v in sd.items()}
+    params = convert_gmmn(sd)
+
+    fmodel = GMMNGenerator(
+        noise_dim=noise_dim, embed_dim=embed_dim, hidden_dim=hidden,
+        feature_dim=feat, num_hidden=1,
+    )
+    ref = fmodel.init(
+        jax.random.key(0), jnp.zeros((1, embed_dim)), jnp.zeros((1, noise_dim))
+    )
+    assert_tree_shapes_match(ref["params"], params)
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((5, embed_dim)).astype(np.float32)
+    noise = rng.standard_normal((5, noise_dim)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(np.concatenate([emb, noise], -1)))
+    f_out = fmodel.apply({"params": params}, jnp.asarray(emb), jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+
+
+def test_gmmn_converter_rejects_garbage():
+    from zs3_tpu.utils.torch_convert import convert_gmmn
+
+    with pytest.raises(ValueError):
+        convert_gmmn({"main.0.weight": np.zeros((2, 3, 4))})  # conv, not Linear
+    with pytest.raises(ValueError):
+        convert_gmmn({})

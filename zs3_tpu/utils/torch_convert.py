@@ -388,6 +388,54 @@ def convert_drn(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_gmmn(state_dict: Mapping[str, Any]) -> Dict:
+    """torch GMMNnetwork (MLP) state_dict -> params for
+    zs3_tpu.models.gmmn.GMMNGenerator.
+
+    The reference generator (zs3/modeling/gmmn.py class GMMNnetwork,
+    [M] confidence — empty mount, SURVEY.md §0) is a small Linear MLP;
+    public checkpoints name its layers either as a Sequential
+    (`main.0.weight`, `main.3.weight`, ...) or as `fc1`/`fc2`.  Both are
+    handled uniformly: parameterized layers are taken in state_dict
+    order (activations/dropout hold no tensors, so Sequential index gaps
+    are irrelevant), all but the last become hidden0..hiddenN-2 and the
+    last becomes `out`.  Linear weight (out,in) transposes to Dense
+    kernel (in,out).
+    """
+    order = []
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, tensor in state_dict.items():
+        if "." in name:
+            prefix, field = name.rsplit(".", 1)
+        else:
+            prefix, field = "", name
+        if field not in ("weight", "bias"):
+            raise ValueError(f"unrecognized gmmn entry: {name}")
+        arr = _np(tensor).astype(np.float32)
+        if field == "weight" and arr.ndim != 2:
+            raise ValueError(
+                f"gmmn converter expects 2-D Linear weights; "
+                f"{name} has shape {arr.shape}"
+            )
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][field] = arr
+    if not order:
+        raise ValueError("no Linear layers found in gmmn state_dict")
+    params: Dict = {}
+    for i, prefix in enumerate(order):
+        group = groups[prefix]
+        if "weight" not in group:
+            raise ValueError(f"gmmn layer {prefix!r} has no weight")
+        flax_name = "out" if i == len(order) - 1 else f"hidden{i}"
+        entry = {"kernel": group["weight"].T}
+        if "bias" in group:
+            entry["bias"] = group["bias"]
+        params[flax_name] = entry
+    return params
+
+
 _BACKBONE_CONVERTERS = {
     "resnet50": convert_torchvision_resnet,
     "resnet101": convert_torchvision_resnet,
