@@ -166,7 +166,7 @@ def main(argv=None):
     for name in (
         "train-seen", "train-gmmn", "train-zs5",
         "evaluate", "evaluate-gmmn", "infer", "convert-weights",
-        "show-config", "profile", "serve",
+        "show-config", "profile", "serve", "export",
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -187,6 +187,15 @@ def main(argv=None):
                            help="native-resolution sliding-window inference "
                                 "(overlapping crops, averaged probabilities) "
                                 "instead of a global resize")
+        elif name == "export":
+            p.add_argument("--output", type=str, required=True,
+                           help="StableHLO artifact path (+ .json manifest)")
+            p.add_argument("--export-batch", type=int, default=1)
+            p.add_argument("--emit", choices=["labels", "logits"],
+                           default="labels")
+            p.add_argument("--platforms", type=str, default=None,
+                           help="comma-separated lowering targets, e.g. "
+                                "tpu,cpu (default: current backend)")
         elif name == "convert-weights":
             p.add_argument("pth", help="upstream-named backbone state_dict "
                            ".pth (torchvision resnet, reference xception/"
@@ -324,6 +333,17 @@ def main(argv=None):
         ckpt.wait_until_finished()
         result = {"checkpoint": ckpt_path,
                   "usage": "pass via --resume with --ft for pretrained init"}
+    elif args.command == "export":
+        from zs3_tpu.export import export_predictor, save_exported
+
+        blob, manifest = export_predictor(
+            cfg,
+            batch_size=args.export_batch,
+            emit=args.emit,
+            platforms=args.platforms.split(",") if args.platforms else None,
+        )
+        save_exported(args.output, blob, manifest)
+        result = {"artifact": args.output, "bytes": len(blob), **manifest}
     else:  # pragma: no cover
         raise AssertionError(args.command)
 

@@ -1,0 +1,131 @@
+"""Serialized model export for deployment (StableHLO via jax.export).
+
+The reference has no deployment story (predictions only materialize
+inside validation loops, SURVEY.md §3.5); production serving of the
+rebuild needs an artifact that runs without Python model code.  This
+exports the inference path — uint8 NHWC images in, int32 label maps (or
+f32 logits) out, normalization and trained weights baked into the graph
+— as a self-contained StableHLO artifact:
+
+  * loadable from any JAX process (`load_exported`) with no zs3_tpu
+    import, checkpoint, or config;
+  * loadable from C++ / non-Python runtimes that speak StableHLO
+    (PJRT `LoadedExecutable`, IFRT proxy, TF `XlaCallModule`);
+  * cross-lowerable: `platforms=("tpu", "cpu")` produces one artifact
+    serving both backends, exported from either host.
+
+The upsample+argmax runs the portable oracle (ops/resize.py) rather
+than the Mosaic kernel so the artifact stays backend-agnostic; at the
+export batch sizes that path is <1% of inference time (DESIGN.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zs3_tpu.core.config import Config
+
+
+def make_inference_fn(model, variables, emit: str = "labels") -> Callable:
+    """Self-contained inference: uint8 NHWC batch -> labels or logits.
+
+    Weights are closed over (they become constants of the exported
+    module), so the artifact needs no side-band checkpoint.
+    """
+    from zs3_tpu.data.transforms import batched_normalize_device
+
+    if emit not in ("labels", "logits"):
+        raise ValueError(f"emit must be 'labels' or 'logits', got {emit!r}")
+
+    def infer(images: jax.Array) -> jax.Array:
+        x = batched_normalize_device(images)
+        # __call__ upsamples to input resolution via the portable
+        # align-corners resize (ops/resize.py) — backend-agnostic.
+        logits = model.apply(variables, x, train=False).astype(jnp.float32)
+        if emit == "logits":
+            return logits
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return infer
+
+
+def export_predictor(
+    cfg: Config,
+    checkpoint: Optional[str] = None,
+    batch_size: int = 1,
+    emit: str = "labels",
+    platforms: Optional[Sequence[str]] = None,
+) -> Tuple[bytes, dict]:
+    """Export the (checkpoint-restored) inference path to StableHLO bytes.
+
+    `platforms=None` lowers for the current backend; pass e.g.
+    ("tpu", "cpu") for a multi-platform artifact (cross-lowering works
+    from any host).  Returns (serialized bytes, manifest dict).
+    """
+    from jax import export as jexport
+
+    from zs3_tpu.models.deeplab import build_deeplab
+    from zs3_tpu.train.state import create_seg_state
+    from zs3_tpu.utils.saver import Saver
+
+    model = build_deeplab(cfg.model)
+    state = create_seg_state(
+        model,
+        cfg,
+        jax.random.key(cfg.train.seed),
+        (1, cfg.data.crop_size, cfg.data.crop_size, 3),
+        total_steps=1,
+    )
+    ckpt = checkpoint or cfg.train.resume
+    if ckpt:
+        state = Saver.restore(ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    infer = make_inference_fn(model, variables, emit)
+    size = cfg.data.crop_size
+    spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
+    if platforms is None and jax.default_backend() not in (
+        "cpu", "tpu", "cuda", "rocm",
+    ):
+        # Experimental/relay backends (e.g. a tunneled TPU) are not valid
+        # jax.export lowering targets; cross-lower a portable artifact.
+        platforms = ("tpu", "cpu")
+    exported = jexport.export(
+        jax.jit(infer),
+        platforms=tuple(platforms) if platforms else None,
+    )(spec)
+    manifest = {
+        "input": f"uint8[{batch_size},{size},{size},3] NHWC",
+        "output": (
+            f"int32[{batch_size},{size},{size}] labels"
+            if emit == "labels"
+            else f"float32[{batch_size},{size},{size},{cfg.model.num_classes}] logits"
+        ),
+        "platforms": list(exported.platforms),
+        "backbone": cfg.model.backbone,
+        "num_classes": cfg.model.num_classes,
+    }
+    return exported.serialize(), manifest
+
+
+def save_exported(path: str, blob: bytes, manifest: dict) -> None:
+    """Write `<path>` (StableHLO bytes) + `<path>.json` (manifest)."""
+    import json
+
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
+    """Load an exported artifact and return a callable — no model code,
+    config, or checkpoint needed."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return lambda images: exported.call(jnp.asarray(images))
