@@ -107,6 +107,48 @@ def test_combine_dbs_dedup(voc_tree):
     assert sorted(combined.names) == ["img001", "img002", "img003"]
 
 
+def test_synthetic_context_tint_mode():
+    """context_tint blends each visible region's tint with its touching
+    neighbors' tints (same relation ops/sampling.py::class_adjacency
+    measures); labels are unchanged and, at tint_weight=1.0, region
+    pixels equal the blend formula exactly (uint8 rounding aside)."""
+    from zs3_tpu.data.synthetic import synthetic_class_tints
+
+    ct = 0.5
+    plain = SyntheticSegmentation(
+        8, (64, 64), num_classes=6, seed=5, tint_weight=1.0
+    )
+    ctx = SyntheticSegmentation(
+        8, (64, 64), num_classes=6, seed=5, tint_weight=1.0, context_tint=ct
+    )
+    tints = synthetic_class_tints(6, 32).astype(np.float64)
+    changed = 0
+    for i in range(8):
+        a, b = plain[i], ctx[i]
+        np.testing.assert_array_equal(a["label"], b["label"])
+        lbl = b["label"]
+        # independent touching-set computation (shifted comparisons)
+        touch = {int(c): set() for c in np.unique(lbl)}
+        for u, v in ((lbl[:, :-1], lbl[:, 1:]), (lbl[:-1, :], lbl[1:, :])):
+            d = u != v
+            for x, y in zip(u[d].ravel(), v[d].ravel()):
+                touch[int(x)].add(int(y))
+                touch[int(y)].add(int(x))
+        for c, nbs in touch.items():
+            if c == 0 or not nbs:
+                continue
+            expect = (1 - ct) * tints[c] + ct * np.mean(
+                tints[sorted(nbs)], axis=0
+            )
+            got = b["image"][lbl == c].mean(axis=0)
+            np.testing.assert_allclose(got, expect, atol=1.0)
+            if not np.array_equal(
+                a["image"][lbl == c], b["image"][lbl == c]
+            ):
+                changed += 1
+    assert changed > 0  # context dependence actually shows in pixels
+
+
 def test_loader_determinism():
     ds = SyntheticSegmentation(16, (32, 32), num_classes=4)
     dl1 = DataLoader(ds, 4, shuffle=True, seed=7, num_workers=2)

@@ -18,6 +18,7 @@ from zs3_tpu.train.gmmn import (
     GMMNTrainer,
     classifier_training_set,
     extract_classifier,
+    generic_context_fallback,
     mmd_training_masks,
     splice_classifier,
 )
@@ -132,6 +133,33 @@ def test_gmmn_training_moves_generator_toward_real(zs3_cfg):
         )
         mmds.append(float(out["mmd"]))
     assert mmds[-1] < mmds[0], f"MMD did not decrease: {mmds}"
+
+
+def test_generic_context_fallback():
+    """Classes absent from the batch (empty adjacency rows) must receive
+    the batch's generic context — the top-total-adjacency-mass classes —
+    instead of an all-masked (zero-vector) context the generator never
+    trains on; present classes keep their own neighbor lists."""
+    from zs3_tpu.ops.sampling import neighbor_lists_from_adjacency
+
+    # 4 classes; class 2 absent (row/col zero). 0-1 touch a lot, 1-3 some.
+    adj = jnp.asarray(
+        [
+            [0.0, 10.0, 0.0, 0.0],
+            [10.0, 0.0, 0.0, 4.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 4.0, 0.0, 0.0],
+        ]
+    )
+    nb, nbm = neighbor_lists_from_adjacency(adj, 2)
+    assert float(nbm[2].sum()) == 0.0  # empty before the fallback
+    nb2, nbm2 = generic_context_fallback(nb, nbm, adj)
+    # present classes untouched
+    np.testing.assert_array_equal(np.asarray(nb2[0]), np.asarray(nb[0]))
+    np.testing.assert_array_equal(np.asarray(nbm2[1]), np.asarray(nbm[1]))
+    # absent class gets the generic context: top mass = classes 1 (14), 0 (10)
+    np.testing.assert_array_equal(np.asarray(nb2[2]), [1, 0])
+    np.testing.assert_array_equal(np.asarray(nbm2[2]), [1.0, 1.0])
 
 
 def test_graph_context_trainer_smoke(zs3_cfg):

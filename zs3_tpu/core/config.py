@@ -106,6 +106,10 @@ class DataConfig:
     # Fraction of the class tint blended over noise inside objects
     # (higher = more learnable appearance).
     synthetic_tint_weight: float = 0.75
+    # Context-dependent appearance: fraction of each region's tint taken
+    # from the mean tint of the classes it touches (> 0 makes the
+    # graph-context GMMN conditioning informative; see data/synthetic.py).
+    synthetic_context_tint: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -165,11 +165,13 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
             cfg.synthetic_items, size, num_classes=n_cls, seed=1,
             classes=train_classes, embedding_dim=cfg.synthetic_embed_dim,
             tint_weight=cfg.synthetic_tint_weight,
+            context_tint=cfg.synthetic_context_tint,
         )
         val_ds = SyntheticSegmentation(
             max(16, cfg.synthetic_items // 4), size, num_classes=n_cls,
             seed=2, embedding_dim=cfg.synthetic_embed_dim,
             tint_weight=cfg.synthetic_tint_weight,
+            context_tint=cfg.synthetic_context_tint,
         )
         num_classes = train_ds.NUM_CLASSES
     else:

@@ -73,6 +73,7 @@ class SyntheticSegmentation:
         classes: Sequence[int] | None = None,
         embedding_dim: int = 32,
         tint_weight: float = 0.75,
+        context_tint: float = 0.0,
     ):
         self.NUM_CLASSES = num_classes
         self.num_items = num_items
@@ -84,11 +85,33 @@ class SyntheticSegmentation:
         )
         self.embedding_dim = embedding_dim
         self.tint_weight = float(tint_weight)
+        # context_tint > 0 makes each visible region's tint depend on the
+        # classes it TOUCHES (4-neighbor region adjacency, the same
+        # relation ops/sampling.py::class_adjacency measures):
+        #   eff_tint[c] = (1-ct)*tint[c] + ct*mean(tint[n] for n in touch(c))
+        # Appearance then depends on spatial context, so the paper's
+        # graph-context conditioning (neighbor class embeddings) carries
+        # real signal a context-blind generator cannot represent — the
+        # dataset hook behind the graph-context acceptance evidence.
+        self.context_tint = float(context_tint)
         self.tints = synthetic_class_tints(num_classes, embedding_dim)
         self.names = [f"synthetic_{i:05d}" for i in range(num_items)]
 
     def __len__(self) -> int:
         return self.num_items
+
+    def _touching(self, label: np.ndarray) -> dict:
+        """class -> set of classes sharing a 4-neighbor pixel edge."""
+        touch: dict = {int(c): set() for c in np.unique(label)}
+        for a, b in (
+            (label[:, :-1], label[:, 1:]),
+            (label[:-1, :], label[1:, :]),
+        ):
+            diff = a != b
+            for x, y in zip(a[diff].ravel().tolist(), b[diff].ravel().tolist()):
+                touch[int(x)].add(int(y))
+                touch[int(y)].add(int(x))
+        return touch
 
     def __getitem__(self, idx: int):
         rng = np.random.default_rng(self.seed * 100003 + idx)
@@ -97,6 +120,7 @@ class SyntheticSegmentation:
         label = np.zeros((h, w), dtype=np.uint8)
         n_obj = int(rng.integers(1, self.max_objects + 1))
         tw = self.tint_weight
+        rects = []
         for _ in range(n_obj):
             cls = int(rng.choice(self.classes))
             bh = int(rng.integers(h // 8, h // 2))
@@ -104,11 +128,33 @@ class SyntheticSegmentation:
             y0 = int(rng.integers(0, h - bh))
             x0 = int(rng.integers(0, w - bw))
             label[y0 : y0 + bh, x0 : x0 + bw] = cls
-            # blend the class tint over the noise so the class is
-            # learnable from appearance (and appearance from embedding)
-            tint = self.tints[cls].astype(np.float32)
-            region = image[y0 : y0 + bh, x0 : x0 + bw].astype(np.float32)
-            image[y0 : y0 + bh, x0 : x0 + bw] = (
-                (1.0 - tw) * region + tw * tint[None, None]
-            ).astype(np.uint8)
+            rects.append((cls, y0, x0, bh, bw))
+        if self.context_tint > 0.0:
+            # Context mode: tint only VISIBLE pixels of each class, with
+            # the context-blended tint (needs the final label map).
+            ct = self.context_tint
+            touch = self._touching(label)
+            fimg = image.astype(np.float32)
+            for cls in touch:
+                if cls == 0:
+                    continue
+                nbs = sorted(touch[cls])
+                nb_tint = (
+                    np.mean(self.tints[nbs].astype(np.float32), axis=0)
+                    if nbs
+                    else self.tints[cls].astype(np.float32)
+                )
+                tint = (1.0 - ct) * self.tints[cls].astype(np.float32) + ct * nb_tint
+                mask = label == cls
+                fimg[mask] = (1.0 - tw) * fimg[mask] + tw * tint[None]
+            image = fimg.astype(np.uint8)
+        else:
+            for cls, y0, x0, bh, bw in rects:
+                # blend the class tint over the noise so the class is
+                # learnable from appearance (and appearance from embedding)
+                tint = self.tints[cls].astype(np.float32)
+                region = image[y0 : y0 + bh, x0 : x0 + bw].astype(np.float32)
+                image[y0 : y0 + bh, x0 : x0 + bw] = (
+                    (1.0 - tw) * region + tw * tint[None, None]
+                ).astype(np.uint8)
         return {"image": image, "label": label, "name": self.names[idx]}
