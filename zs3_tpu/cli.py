@@ -166,7 +166,7 @@ def main(argv=None):
     for name in (
         "train-seen", "train-gmmn", "train-zs5",
         "evaluate", "evaluate-gmmn", "infer", "convert-weights",
-        "show-config", "profile", "serve", "export",
+        "show-config", "profile", "serve", "export", "prepare-context",
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -187,6 +187,10 @@ def main(argv=None):
                            help="native-resolution sliding-window inference "
                                 "(overlapping crops, averaged probabilities) "
                                 "instead of a global resize")
+        elif name == "prepare-context":
+            p.add_argument("json", help="detail-API trainval_merged.json")
+            p.add_argument("--overwrite", action="store_true",
+                           help="regenerate label PNGs that already exist")
         elif name == "export":
             p.add_argument("--output", type=str, required=True,
                            help="StableHLO artifact path (+ .json manifest)")
@@ -333,6 +337,12 @@ def main(argv=None):
         ckpt.wait_until_finished()
         result = {"checkpoint": ckpt_path,
                   "usage": "pass via --resume with --ft for pretrained init"}
+    elif args.command == "prepare-context":
+        from zs3_tpu.data.context_prepare import prepare_context
+
+        result = prepare_context(
+            args.json, cfg.data.root, overwrite=args.overwrite
+        )
     elif args.command == "export":
         from zs3_tpu.export import export_predictor, save_exported
 
