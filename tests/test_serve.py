@@ -63,6 +63,43 @@ def test_predict_roundtrip(server, rng):
     assert color.shape == (40, 50, 3)
 
 
+def test_serve_exported_artifact(tmp_path, rng):
+    """The server runs from an exported StableHLO artifact alone — no
+    checkpoint, no model rebuild — and reports its self-described shape."""
+    from zs3_tpu.export import export_predictor, save_exported
+    from zs3_tpu.serve import InferenceServer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=4, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(dataset="synthetic", crop_size=33, base_size=33),
+    )
+    path = str(tmp_path / "m.shlo")
+    save_exported(path, *export_predictor(cfg, batch_size=1))
+    srv = InferenceServer(Config(), port=0, artifact=path).start(warmup=True)
+    try:
+        c = _conn(srv)
+        c.request("GET", "/info")
+        info = json.loads(c.getresponse().read())
+        assert info["source"] == "artifact"
+        assert info["num_classes"] == 4 and info["crop_size"] == 33
+        img = Image.fromarray(rng.integers(0, 255, (40, 50, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        c.request("POST", "/predict", body=buf.getvalue())
+        r = c.getresponse()
+        assert r.status == 200
+        pred = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert pred.shape == (40, 50) and pred.max() < 4
+        # sliding needs live logits: clean 400, not a crash
+        c.request("POST", "/predict?sliding=1", body=buf.getvalue())
+        assert c.getresponse().status == 400
+    finally:
+        srv.stop()
+
+
 def test_predict_bad_body(server):
     c = _conn(server)
     c.request("POST", "/predict", body=b"not an image")

@@ -173,6 +173,9 @@ def main(argv=None):
         if name == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8500)
+            p.add_argument("--artifact", type=str, default=None,
+                           help="serve an exported StableHLO artifact "
+                                "(cli export) instead of a checkpoint")
         if name == "profile":
             p.add_argument("--steps", type=int, default=10,
                            help="train steps to time (first is warmup)")
@@ -267,7 +270,9 @@ def main(argv=None):
     elif args.command == "serve":
         from zs3_tpu.serve import InferenceServer
 
-        server = InferenceServer(cfg, host=args.host, port=args.port)
+        server = InferenceServer(
+            cfg, host=args.host, port=args.port, artifact=args.artifact
+        )
         print(
             json.dumps({"serving": f"http://{args.host}:{server.port}"}),
             file=sys.stderr,

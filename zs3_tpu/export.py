@@ -107,6 +107,9 @@ def export_predictor(
         "platforms": list(exported.platforms),
         "backbone": cfg.model.backbone,
         "num_classes": cfg.model.num_classes,
+        "batch_size": batch_size,
+        "crop_size": size,
+        "emit": emit,
     }
     return exported.serialize(), manifest
 

@@ -35,12 +35,87 @@ from zs3_tpu.train.predict import Predictor
 from zs3_tpu.utils.viz import decode_segmap
 
 
+class ArtifactPredictor:
+    """Predictor-compatible facade over an exported StableHLO artifact
+    (zs3_tpu.export) — no model code, config, or checkpoint needed.
+
+    The artifact has a FIXED (batch, size) uint8 input with
+    normalization baked in; requests resize to it and results resize
+    back.  Sliding-window mode needs live logits at arbitrary windows
+    and is not supported from a labels artifact.
+    """
+
+    def __init__(self, artifact_path: str):
+        import json as _json
+
+        from zs3_tpu.export import load_exported
+
+        with open(artifact_path + ".json") as f:
+            self.manifest = _json.load(f)
+        if self.manifest.get("emit", "labels") != "labels":
+            raise ValueError(
+                "serving needs a labels artifact; this one emits "
+                f"{self.manifest.get('emit')!r}"
+            )
+        self.batch = int(self.manifest["batch_size"])
+        self.size = int(self.manifest["crop_size"])
+        self.num_classes = int(self.manifest["num_classes"])
+        self._call = load_exported(artifact_path)
+
+    def predict_array(self, image: np.ndarray) -> np.ndarray:
+        h, w = image.shape[:2]
+        resized = np.asarray(
+            Image.fromarray(image).resize(
+                (self.size, self.size), Image.BILINEAR
+            ),
+            dtype=np.uint8,
+        )
+        batch = np.broadcast_to(
+            resized, (self.batch, self.size, self.size, 3)
+        )
+        pred = np.asarray(self._call(batch))[0].astype(np.uint8)
+        return np.asarray(
+            Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
+        ).astype(np.int32)
+
+    def predict_sliding(self, image: np.ndarray) -> np.ndarray:
+        raise ValueError(
+            "sliding-window inference is not available when serving an "
+            "exported artifact (fixed-shape labels graph); serve a "
+            "checkpoint instead"
+        )
+
+
 class SegmentationService:
     """Predictor wrapper with warmup + single-device serialization."""
 
-    def __init__(self, cfg: Config, checkpoint: Optional[str] = None):
+    def __init__(
+        self,
+        cfg: Config,
+        checkpoint: Optional[str] = None,
+        artifact: Optional[str] = None,
+    ):
         self.cfg = cfg
-        self.predictor = Predictor(cfg, checkpoint)
+        if artifact:
+            self.predictor = ArtifactPredictor(artifact)
+            # the artifact is self-describing; surface its true shape
+            import dataclasses
+
+            self.cfg = cfg.replace(
+                model=dataclasses.replace(
+                    cfg.model,
+                    num_classes=self.predictor.num_classes,
+                    backbone=self.predictor.manifest.get(
+                        "backbone", cfg.model.backbone
+                    ),
+                ),
+                data=dataclasses.replace(
+                    cfg.data, crop_size=self.predictor.size
+                ),
+            )
+        else:
+            self.predictor = Predictor(cfg, checkpoint)
+        self.source = "artifact" if artifact else "checkpoint"
         self._lock = threading.Lock()
         self.warm = False
 
@@ -79,6 +154,7 @@ class SegmentationService:
             "crop_size": self.cfg.data.crop_size,
             "output_stride": self.cfg.model.output_stride,
             "warm": self.warm,
+            "source": self.source,
         }
 
 
@@ -145,8 +221,9 @@ class InferenceServer:
         checkpoint: Optional[str] = None,
         host: str = "127.0.0.1",
         port: int = 8500,
+        artifact: Optional[str] = None,
     ):
-        self.service = SegmentationService(cfg, checkpoint)
+        self.service = SegmentationService(cfg, checkpoint, artifact=artifact)
         self.httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self.service)
         )
