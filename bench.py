@@ -3,8 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference never published throughput (BASELINE.json.published is
-empty; the paper reports no img/s), so vs_baseline is reported against a
-recorded best-so-far in BENCH_HISTORY if present, else 1.0.
+empty; the paper reports no img/s), so vs_baseline is reported against
+this rebuild's own first honest measurement (DEFAULT_BASELINE below) —
+it tracks optimization progress, not reference parity.  MFU is reported
+against both the nominal peak and the chip's measured sustained ceiling
+so the ratio can't masquerade as near-roofline (DESIGN.md §4).
 
 Timing methodology (important under the axon TPU relay):
   * every timed call gets a *different* input (a scalar shift folded into
