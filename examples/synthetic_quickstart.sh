@@ -5,6 +5,7 @@
 # with a deployable StableHLO artifact.  Runs on CPU or one TPU chip in
 # a few minutes; no downloads, no datasets on disk.
 set -euo pipefail
+cd "$(dirname "$0")/.."   # run from the repo root (zs3_tpu importable)
 RUN=${RUN:-run-synthetic}
 COMMON=(--dataset synthetic --backbone resnet50 --crop-size 65
         --base-size 65 --batch-size 8 --unseen-split 2
