@@ -35,7 +35,7 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     """serialize -> deserialize -> call must equal the in-process fn,
     with no zs3_tpu model code in the load path."""
     cfg = _cfg(tmp_path)
-    blob, manifest = export_predictor(cfg, batch_size=2)
+    blob, manifest = export_predictor(cfg, batch_size=2, allow_random=True)
     path = str(tmp_path / "model.shlo")
     save_exported(path, blob, manifest)
 
@@ -67,7 +67,7 @@ def test_export_roundtrip_matches_live_model(tmp_path):
 
 def test_export_logits_emit(tmp_path):
     cfg = _cfg(tmp_path)
-    blob, manifest = export_predictor(cfg, batch_size=1, emit="logits")
+    blob, manifest = export_predictor(cfg, batch_size=1, emit="logits", allow_random=True)
     path = str(tmp_path / "logits.shlo")
     save_exported(path, blob, manifest)
     loaded = load_exported(path)
@@ -80,7 +80,14 @@ def test_export_logits_emit(tmp_path):
 def test_export_rejects_bad_emit(tmp_path):
     cfg = _cfg(tmp_path)
     with pytest.raises(ValueError):
-        export_predictor(cfg, emit="probabilities")
+        export_predictor(cfg, emit="probabilities", allow_random=True)
+
+
+def test_export_requires_checkpoint(tmp_path):
+    """A forgotten --resume must fail loudly, not serialize random weights."""
+    cfg = _cfg(tmp_path)
+    with pytest.raises(ValueError, match="randomly"):
+        export_predictor(cfg)
 
 
 def test_export_cli(tmp_path, capsys):
@@ -91,7 +98,7 @@ def test_export_cli(tmp_path, capsys):
         "export", "--output", out_path, "--dataset", "synthetic",
         "--crop-size", "33", "--base-size", "33", "--backbone", "resnet50",
         "--compute-dtype", "float32", "--export-batch", "1",
-        "--checkpoint-dir", str(tmp_path / "run"),
+        "--checkpoint-dir", str(tmp_path / "run"), "--allow-random",
     ])
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -77,7 +77,7 @@ def test_serve_exported_artifact(tmp_path, rng):
         data=DataConfig(dataset="synthetic", crop_size=33, base_size=33),
     )
     path = str(tmp_path / "m.shlo")
-    save_exported(path, *export_predictor(cfg, batch_size=1))
+    save_exported(path, *export_predictor(cfg, batch_size=1, allow_random=True))
     srv = InferenceServer(Config(), port=0, artifact=path).start(warmup=True)
     try:
         c = _conn(srv)

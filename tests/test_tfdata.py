@@ -95,22 +95,43 @@ def test_tfdata_same_epoch_is_deterministic(voc_tree):
 
 
 def test_tfdata_blur_applied(voc_tree):
-    """Some examples get blurred (p=0.5): the pipeline output must not
-    be identical to a blur-free pixel mapping for every example.  Proxy:
-    local image variance differs between the two epochs' crops anyway,
-    so instead check the blur kernel math — sigma=0 yields the identity
-    (no-blur branch is exact)."""
-    tf_ = tf
-    xs = tf_.range(-3.0, 4.0)
-    for sigma, should_change in ((0.0, False), (1.0, True)):
-        k = tf_.exp(-(xs * xs) / (2.0 * sigma * sigma + 1e-12))
-        k = (k / tf_.reduce_sum(k)).numpy()
-        ident = np.zeros(7, np.float32)
-        ident[3] = 1.0
-        if should_change:
-            assert not np.allclose(k, ident)
-        else:
-            np.testing.assert_allclose(k, ident, atol=1e-12)
+    """The gaussian blur must actually run inside build_train_pipeline.
+
+    Same seed, blur_prob 0 vs 1: every other stateless draw (flip,
+    scale, crop, sigma) is identical, so the two pipelines differ ONLY
+    by the blur conv.  Images must change (and lose high-frequency
+    energy), labels must not — deleting the blur block or blurring the
+    labels both fail here."""
+    from zs3_tpu.data.tfdata import build_train_pipeline
+    from zs3_tpu.data.voc import VOCSegmentation
+
+    cfg = DataConfig(
+        dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+        batch_size=4,
+    )
+    ds = VOCSegmentation(str(voc_tree), "train")
+    off = next(
+        build_train_pipeline(ds, cfg, seed=0, blur_prob=0.0)
+        .as_numpy_iterator()
+    )
+    on = next(
+        build_train_pipeline(ds, cfg, seed=0, blur_prob=1.0)
+        .as_numpy_iterator()
+    )
+    np.testing.assert_array_equal(off["label"], on["label"])
+    assert not np.allclose(off["image"], on["image"])
+
+    def hf_energy(img):  # mean squared discrete Laplacian
+        lap = (
+            4 * img[1:-1, 1:-1] - img[:-2, 1:-1] - img[2:, 1:-1]
+            - img[1:-1, :-2] - img[1:-1, 2:]
+        )
+        return float(np.mean(lap**2))
+
+    # Blur removes high-frequency energy on average over the batch.
+    assert sum(hf_energy(i) for i in on["image"]) < sum(
+        hf_energy(i) for i in off["image"]
+    )
 
 
 def test_make_data_loader_tfdata(voc_tree):

@@ -203,23 +203,33 @@ def main(argv=None):
             p.add_argument("--platforms", type=str, default=None,
                            help="comma-separated lowering targets, e.g. "
                                 "tpu,cpu (default: current backend)")
+            p.add_argument("--allow-random", action="store_true",
+                           help="permit exporting without a checkpoint "
+                                "(randomly initialized weights; smoke "
+                                "artifacts only)")
         elif name == "convert-weights":
             p.add_argument("pth", help="upstream-named backbone state_dict "
                            ".pth (torchvision resnet, reference xception/"
                            "mobilenet/drn namings)")
             p.add_argument("--output", type=str, required=True,
                            help="checkpoint directory to write (use with --resume --ft)")
+            p.add_argument("--force", action="store_true",
+                           help="replace an existing --output checkpoint")
     args = parser.parse_args(argv)
     cfg = build_config(args)
 
     if getattr(args, "auto_resume", None):
         from zs3_tpu.utils.saver import Saver
 
-        # GMMN-stage trainers checkpoint under "<checkname>-gmmn" and
-        # resume through gmmn_resume; the seen stage uses resume.
-        gmmn_stage = args.command in ("train-gmmn", "train-zs5")
-        checkname = cfg.train.checkname + ("-gmmn" if gmmn_stage else "")
-        field = "gmmn_resume" if gmmn_stage else "resume"
+        # Each stage checkpoints under its own namespace ("<checkname>"
+        # for seen, "<checkname>-gmmn" for ZS3, "<checkname>-zs5" for
+        # ZS5) so auto-resume can never restore a different stage's
+        # states; GMMN-stage trainers resume through gmmn_resume.
+        suffix = {"train-gmmn": "-gmmn", "train-zs5": "-zs5"}.get(
+            args.command, ""
+        )
+        checkname = cfg.train.checkname + suffix
+        field = "gmmn_resume" if suffix else "resume"
         exp = Saver.latest_experiment(
             cfg.train.checkpoint_dir, cfg.data.dataset, checkname
         )
@@ -338,6 +348,15 @@ def main(argv=None):
         # orbax refuses to overwrite: write into an empty target only.
         if os.path.isdir(ckpt_path) and not os.listdir(ckpt_path):
             os.rmdir(ckpt_path)
+        elif os.path.exists(ckpt_path):
+            if not args.force:
+                raise SystemExit(
+                    f"convert-weights: output {ckpt_path!r} already exists; "
+                    f"pass --force to replace it"
+                )
+            import shutil
+
+            shutil.rmtree(ckpt_path)
         ckpt.save(ckpt_path, jax.device_get(state))
         ckpt.wait_until_finished()
         result = {"checkpoint": ckpt_path,
@@ -356,6 +375,7 @@ def main(argv=None):
             batch_size=args.export_batch,
             emit=args.emit,
             platforms=args.platforms.split(",") if args.platforms else None,
+            allow_random=args.allow_random,
         )
         save_exported(args.output, blob, manifest)
         result = {"artifact": args.output, "bytes": len(blob), **manifest}

@@ -82,6 +82,13 @@ def rle_to_mask(segmentation: Dict, height: int, width: int) -> np.ndarray:
     Runs alternate background/foreground starting with background and
     fill the mask COLUMN-major (Fortran order), per the COCO spec."""
     h, w = segmentation.get("size", (height, width))
+    if (h, w) != (height, width):
+        # Trusting a stale/swapped embedded size would produce a
+        # wrong-shaped mask and an opaque IndexError at label assignment.
+        raise ValueError(
+            f"RLE size {[h, w]} disagrees with the image record's "
+            f"height/width {[height, width]}"
+        )
     counts = segmentation["counts"]
     if isinstance(counts, str):
         counts = decode_rle_string(counts)
@@ -154,8 +161,20 @@ def prepare_context(
             cls = cat_to_label.get(anno["category_id"], 255)
             if cls == 255:
                 continue
-            mask = rle_to_mask(anno["segmentation"], h, w)
+            try:
+                mask = rle_to_mask(anno["segmentation"], h, w)
+            except ValueError as e:
+                raise ValueError(
+                    f"image {name!r} (id {image_id}), category "
+                    f"{anno['category_id']}: {e}"
+                ) from e
             label[mask] = cls
+        if (label == 255).all():
+            # Every annotation mapped to a rare (non-59) category: the
+            # image would train as pure-ignore — skip it like the
+            # zero-annotation case.
+            stats["skipped"] += 1
+            continue
         out = os.path.join(label_dir, name + ".png")
         if overwrite or not os.path.exists(out):
             Image.fromarray(label, mode="L").save(out)

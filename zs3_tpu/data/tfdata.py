@@ -66,8 +66,13 @@ def build_train_pipeline(
     dataset,
     cfg: DataConfig,
     seed: int = 0,
+    blur_prob: float = 0.5,
 ):
-    """tf.data.Dataset of {'image': f32 NHWC, 'label': i32 NHW} batches."""
+    """tf.data.Dataset of {'image': f32 NHWC, 'label': i32 NHW} batches.
+
+    blur_prob overrides the reference's p=0.5 gaussian-blur gate; tests
+    pin it to 0/1 to exercise the real blur path deterministically.
+    """
     tf = _require_tf()
     images, labels = _file_lists(dataset)
     crop = cfg.crop_size
@@ -135,7 +140,7 @@ def build_train_pipeline(
         # gaussian blur, p=0.5, sigma ~ U[0,1] (python loader:
         # random_gaussian_blur).  sigma=0 degenerates to the identity
         # kernel, so the no-blur branch needs no tf.cond.
-        sigma = tf.where(draw(4) < 0.5, draw(5), 0.0)
+        sigma = tf.where(draw(4) < blur_prob, draw(5), 0.0)
         xs = tf.range(-3.0, 4.0)
         k = tf.exp(-(xs * xs) / (2.0 * sigma * sigma + 1e-12))
         k = k / tf.reduce_sum(k)

@@ -59,6 +59,7 @@ def export_predictor(
     batch_size: int = 1,
     emit: str = "labels",
     platforms: Optional[Sequence[str]] = None,
+    allow_random: bool = False,
 ) -> Tuple[bytes, dict]:
     """Export the (checkpoint-restored) inference path to StableHLO bytes.
 
@@ -83,6 +84,15 @@ def export_predictor(
     ckpt = checkpoint or cfg.train.resume
     if ckpt:
         state = Saver.restore(ckpt, state)
+    elif not allow_random:
+        # Without this guard a forgotten --resume exports a randomly
+        # initialized model into a valid-looking artifact that serves
+        # garbage with no error at any point.
+        raise ValueError(
+            "export without a checkpoint would serialize randomly "
+            "initialized weights; pass --resume <ckpt> (or "
+            "allow_random=True / --allow-random for a smoke artifact)"
+        )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     infer = make_inference_fn(model, variables, emit)
     size = cfg.data.crop_size

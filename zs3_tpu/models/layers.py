@@ -172,13 +172,14 @@ def stem_conv_s2d(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
 
 
 class StemConv(nn.Module):
-    """7x7/2 pad-3 stem conv; dispatches to the space-to-depth rewrite
-    (exact, faster on TPU) unless s2d=False.  Param tree matches the
+    """7x7/2 pad-3 stem conv; s2d=True dispatches to the space-to-depth
+    rewrite (exact, but MEASURED SLOWER on this v5e — 7.8 vs 5.9 ms at
+    B64, DESIGN.md §4 — hence default off).  Param tree matches the
     plain Conv wrapper (<name>/conv/kernel)."""
 
     features: int = 64
     dtype: Dtype = jnp.float32
-    s2d: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

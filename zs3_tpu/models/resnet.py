@@ -109,8 +109,8 @@ class ResNetAtrous(nn.Module):
             raise ValueError(f"output_stride must be 8 or 16, got {self.output_stride}")
 
         # Stem: 7x7/2 pad 3 -> BN -> ReLU -> maxpool 3x3/2 pad 1  (os4).
-        # The 7x7 runs as an exact space-to-depth 4x4 conv (C_in=3
-        # starves the MXU otherwise; see layers.stem_conv_s2d).
+        # stem_s2d=True rewrites it as an exact space-to-depth 4x4 conv;
+        # measured slower on v5e, so off by default (DESIGN.md §4).
         from zs3_tpu.models.layers import StemConv
 
         x = StemConv(

@@ -199,8 +199,16 @@ def _make_handler(service: SegmentationService):
                     color=opts.get("color") == "1",
                     sliding=opts.get("sliding") == "1",
                 )
-            except Exception as e:  # bad image, etc.
+            except (ValueError, OSError) as e:
+                # Undecodable/invalid image -> client error (PIL raises
+                # OSError subclasses for bad image bytes).
                 self._json(400, {"error": str(e)[:200]})
+                return
+            except Exception as e:
+                # Device/XLA/internal failure -> 5xx so load balancers
+                # and monitoring see an unhealthy backend, not a bad
+                # request.
+                self._json(500, {"error": str(e)[:200]})
                 return
             self.send_response(200)
             self.send_header("Content-Type", "image/png")

@@ -332,6 +332,12 @@ def make_zs3_eval_step(model, num_classes: int, ignore_index: int):
 class GMMNTrainer:
     """Step 2 of the pipeline: zero-shot transfer via generated features."""
 
+    # Checkpoint namespace: subclasses MUST override so different stages
+    # never share an experiment root (auto-resume picks the newest
+    # experiment under "<checkname><suffix>" — a shared suffix would let
+    # a ZS5 run shadow a ZS3 one).
+    checkpoint_suffix = "-gmmn"
+
     def __init__(
         self,
         cfg: Config,
@@ -385,15 +391,26 @@ class GMMNTrainer:
         self.trunk_variables = replicate(seg_variables, self.mesh)
 
         # Class names -> embeddings
-        names = VOC_CLASSES if cfg.data.dataset != "context" else CONTEXT_CLASSES
-        if cfg.data.dataset == "synthetic" and cfg.data.embedding_path is None:
-            # The synthetic dataset's class appearance is a linear
-            # function of these embeddings — condition on the SAME ones
-            # so zero-shot transfer is well-posed (and testable).
-            from zs3_tpu.data.synthetic import synthetic_class_embeddings
+        if cfg.data.dataset == "synthetic":
+            if cfg.data.embedding_path is None:
+                # The synthetic dataset's class appearance is a linear
+                # function of these embeddings — condition on the SAME
+                # ones so zero-shot transfer is well-posed (and testable).
+                from zs3_tpu.data.synthetic import synthetic_class_embeddings
 
-            emb = synthetic_class_embeddings(num_classes, cfg.gmmn.embed_dim)
+                emb = synthetic_class_embeddings(num_classes, cfg.gmmn.embed_dim)
+            else:
+                # Synthetic classes are named class_<i>, and there are
+                # num_classes of them — not VOC's 21-name registry.
+                emb = load_class_embeddings(
+                    [f"class_{i}" for i in range(num_classes)],
+                    cfg.data.embedding_path,
+                    cfg.gmmn.embed_dim,
+                )
         else:
+            names = (
+                CONTEXT_CLASSES if cfg.data.dataset == "context" else VOC_CLASSES
+            )
             emb = load_class_embeddings(
                 names, cfg.data.embedding_path, cfg.gmmn.embed_dim
             )
@@ -478,7 +495,7 @@ class GMMNTrainer:
         self.saver = saver or Saver(
             cfg.train.checkpoint_dir,
             cfg.data.dataset,
-            cfg.train.checkname + "-gmmn",
+            cfg.train.checkname + self.checkpoint_suffix,
             cfg,
             keep=cfg.train.keep_checkpoints,
         )

@@ -193,6 +193,11 @@ class ZS5Trainer(GMMNTrainer):
     """Stage A: pseudo-label with the current ZS3Net; stage B: GMMN
     retraining over the augmented (weak) label set."""
 
+    # Distinct from GMMNTrainer's "-gmmn" so a ZS5 run never shadows a
+    # ZS3 run under --auto-resume (they share the gen/cls state shapes,
+    # so a cross-stage restore would succeed silently).
+    checkpoint_suffix = "-zs5"
+
     def __init__(
         self,
         cfg: Config,
