@@ -171,16 +171,19 @@ class TorchMobileNetV2(nn.Module):
         )]
         cin = 32
         current_stride = 2
-        dilation = 1
+        rate = 1
         self.low_idx = None
+        # Per-stage rewrite with the converting stage at the old rate
+        # (reference mobilenet.py: stride=1; dilation=rate; rate *= s).
         for stage, (t, c, n, s) in enumerate(_MOBILENET_CFG):
+            if current_stride >= output_stride:
+                stage_stride, dilation = 1, rate
+                rate *= s
+            else:
+                stage_stride, dilation = s, 1
+                current_stride *= s
             for i in range(n):
-                stride = s if i == 0 else 1
-                if stride > 1 and current_stride >= output_stride:
-                    dilation *= stride
-                    stride = 1
-                elif stride > 1:
-                    current_stride *= stride
+                stride = stage_stride if i == 0 else 1
                 features.append(TorchInvertedResidual(cin, c, stride, t, dilation))
                 cin = c
             if stage == 1:

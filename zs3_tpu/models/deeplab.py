@@ -54,16 +54,6 @@ def _build_backbone(name: str, output_stride: int, bn_kw, dtype, remat=False):
     raise ValueError(f"unknown backbone {name!r}")
 
 
-_BACKBONE_LOW_LEVEL_DIM = {
-    "resnet": 256,
-    "resnet101": 256,
-    "resnet50": 256,
-    "xception": 128,
-    "mobilenet": 24,
-    "drn": 256,
-}
-
-
 class DeepLab(nn.Module):
     backbone: str = "resnet101"
     output_stride: int = 16

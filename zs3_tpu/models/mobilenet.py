@@ -97,22 +97,30 @@ class MobileNetV2Backbone(nn.Module):
                       name="stem_bn")(x, train=train)
         x = nn.relu6(x)
 
+        # Stride->dilation rewrite, per stage, with the converting stage
+        # keeping the PRE-multiplication rate (reference mobilenet.py:
+        # `stride=1; dilation=rate; rate *= s` once current_stride hits
+        # output_stride).  That is also the correct atrous conversion:
+        # the converting convs still read the pre-stride grid, so only
+        # LATER stages (which now see a 2x finer grid) need the doubled
+        # taps.
         current_stride = 2
-        dilation = 1
+        rate = 1
         low_level = None
         block_idx = 0
         for stage, (t, c, n, s) in enumerate(_CFG):
+            if current_stride >= self.output_stride:
+                stage_stride = 1
+                dilation = rate
+                rate *= s
+            else:
+                stage_stride = s
+                dilation = 1
+                current_stride *= s
             for i in range(n):
-                stride = s if i == 0 else 1
-                if stride > 1 and current_stride >= self.output_stride:
-                    # past the target stride: convert stride to dilation
-                    dilation *= stride
-                    stride = 1
-                elif stride > 1:
-                    current_stride *= stride
                 x = InvertedResidual(
                     features=c,
-                    stride=stride,
+                    stride=stage_stride if i == 0 else 1,
                     expand=t,
                     dilation=dilation,
                     **bn_kw,

@@ -53,6 +53,57 @@ def _kernel_sum(
     return jnp.einsum("n,nm,m->", wx, k, wy)
 
 
+def resolve_weights(
+    fake: jax.Array,
+    real: jax.Array,
+    fake_mask: jax.Array | None,
+    real_mask: jax.Array | None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(N,), (M,) float32 validity weights (all-ones when mask is None)."""
+    wf = (
+        jnp.ones((fake.shape[0],), jnp.float32)
+        if fake_mask is None
+        else fake_mask.astype(jnp.float32)
+    )
+    wr = (
+        jnp.ones((real.shape[0],), jnp.float32)
+        if real_mask is None
+        else real_mask.astype(jnp.float32)
+    )
+    return wf, wr
+
+
+def assemble_sqrt_mmd(
+    k_ff: jax.Array, k_rr: jax.Array, k_fr: jax.Array,
+    nf: jax.Array, nr: jax.Array,
+) -> jax.Array:
+    """sqrt-MMD from the three weighted kernel sums.
+
+    Single source of the estimator semantics (guarded denominators,
+    1e-12 sqrt floor, empty-side -> 0) shared by the jnp oracle and the
+    Pallas backend so the CPU/test and TPU/production losses can never
+    diverge.
+    """
+    safe_nf = jnp.maximum(nf, 1.0)
+    safe_nr = jnp.maximum(nr, 1.0)
+    mmd2 = (
+        k_ff / (safe_nf * safe_nf)
+        + k_rr / (safe_nr * safe_nr)
+        - 2.0 * k_fr / (safe_nf * safe_nr)
+    )
+    both = (nf > 0) & (nr > 0)
+    return jnp.where(both, jnp.sqrt(jnp.maximum(mmd2, 1e-12)), 0.0)
+
+
+def mean_over_present_classes(
+    per_class: jax.Array, fake_mask: jax.Array, real_mask: jax.Array
+) -> jax.Array:
+    """Mean of per-class losses over classes with both sides non-empty."""
+    present = (jnp.sum(fake_mask, axis=-1) > 0) & (jnp.sum(real_mask, axis=-1) > 0)
+    denom = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+    return jnp.sum(per_class * present.astype(jnp.float32)) / denom
+
+
 def mmd_loss(
     fake: jax.Array,
     real: jax.Array,
@@ -74,33 +125,12 @@ def mmd_loss(
         )
     fake = fake.astype(jnp.float32)
     real = real.astype(jnp.float32)
-    n = fake.shape[0]
-    m = real.shape[0]
-    wf = (
-        jnp.ones((n,), jnp.float32)
-        if fake_mask is None
-        else fake_mask.astype(jnp.float32)
-    )
-    wr = (
-        jnp.ones((m,), jnp.float32)
-        if real_mask is None
-        else real_mask.astype(jnp.float32)
-    )
+    wf, wr = resolve_weights(fake, real, fake_mask, real_mask)
     sig = jnp.asarray(sigmas, dtype=jnp.float32)
-    nf = jnp.sum(wf)
-    nr = jnp.sum(wr)
-    safe_nf = jnp.maximum(nf, 1.0)
-    safe_nr = jnp.maximum(nr, 1.0)
     k_ff = _kernel_sum(fake, fake, wf, wf, sig)
     k_rr = _kernel_sum(real, real, wr, wr, sig)
     k_fr = _kernel_sum(fake, real, wf, wr, sig)
-    mmd2 = (
-        k_ff / (safe_nf * safe_nf)
-        + k_rr / (safe_nr * safe_nr)
-        - 2.0 * k_fr / (safe_nf * safe_nr)
-    )
-    both = (nf > 0) & (nr > 0)
-    return jnp.where(both, jnp.sqrt(jnp.maximum(mmd2, 1e-12)), 0.0)
+    return assemble_sqrt_mmd(k_ff, k_rr, k_fr, jnp.sum(wf), jnp.sum(wr))
 
 
 def batched_mmd_loss(
@@ -118,6 +148,4 @@ def batched_mmd_loss(
     per_class = jax.vmap(lambda f, r, mf, mr: mmd_loss(f, r, mf, mr, sigmas))(
         fake, real, fake_mask, real_mask
     )
-    present = (jnp.sum(fake_mask, axis=-1) > 0) & (jnp.sum(real_mask, axis=-1) > 0)
-    denom = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
-    return jnp.sum(per_class * present.astype(jnp.float32)) / denom
+    return mean_over_present_classes(per_class, fake_mask, real_mask)

@@ -224,30 +224,16 @@ def pallas_mmd_loss(
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for zs3_tpu.ops.mmd.mmd_loss backed by the
-    tiled Pallas kernel.  Same biased sqrt-MMD semantics and masking."""
-    n = fake.shape[0]
-    m = real.shape[0]
-    wf = jnp.ones((n,), jnp.float32) if fake_mask is None else fake_mask.astype(
-        jnp.float32
-    )
-    wr = jnp.ones((m,), jnp.float32) if real_mask is None else real_mask.astype(
-        jnp.float32
-    )
+    tiled Pallas kernel.  The estimator assembly is shared with the jnp
+    oracle (mmd.assemble_sqrt_mmd) — only the kernel-sum backend differs."""
+    from zs3_tpu.ops.mmd import assemble_sqrt_mmd, resolve_weights
+
+    wf, wr = resolve_weights(fake, real, fake_mask, real_mask)
     sig = tuple(float(s) for s in sigmas)
-    nf = jnp.sum(wf)
-    nr = jnp.sum(wr)
-    safe_nf = jnp.maximum(nf, 1.0)
-    safe_nr = jnp.maximum(nr, 1.0)
     k_ff = kernel_sum(fake, fake, wf, wf, sig, interpret)
     k_rr = kernel_sum(real, real, wr, wr, sig, interpret)
     k_fr = kernel_sum(fake, real, wf, wr, sig, interpret)
-    mmd2 = (
-        k_ff / (safe_nf * safe_nf)
-        + k_rr / (safe_nr * safe_nr)
-        - 2.0 * k_fr / (safe_nf * safe_nr)
-    )
-    both = (nf > 0) & (nr > 0)
-    return jnp.where(both, jnp.sqrt(jnp.maximum(mmd2, 1e-12)), 0.0)
+    return assemble_sqrt_mmd(k_ff, k_rr, k_fr, jnp.sum(wf), jnp.sum(wr))
 
 
 def batched_pallas_mmd_loss(
@@ -265,11 +251,11 @@ def batched_pallas_mmd_loss(
     that the tiled kernel beats XLA (>= ~512 pixels/class).  Matches
     zs3_tpu.ops.mmd.batched_mmd_loss semantics.
     """
+    from zs3_tpu.ops.mmd import mean_over_present_classes
+
     def per_class(args):
         f, r, mf, mr = args
         return pallas_mmd_loss(f, r, mf, mr, sigmas, interpret)
 
     per = jax.lax.map(per_class, (fake, real, fake_mask, real_mask))
-    present = (jnp.sum(fake_mask, axis=-1) > 0) & (jnp.sum(real_mask, axis=-1) > 0)
-    denom = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
-    return jnp.sum(per * present.astype(jnp.float32)) / denom
+    return mean_over_present_classes(per, fake_mask, real_mask)

@@ -68,6 +68,7 @@ def spatially_sharded_train_step(
     data_axis: Optional[str] = "data",
     space_axis: str = "space",
     donate: bool = False,
+    device_preprocess: bool = False,
     loss_at: str = "full",
 ):
     """Supervised train step with batches sharded (batch over `data`,
@@ -94,6 +95,7 @@ def spatially_sharded_train_step(
     return make_train_step(
         loss_fn,
         donate=donate,
+        device_preprocess=device_preprocess,
         loss_at=loss_at,
         in_shardings=(rep, {"image": x_sh, "label": lbl_sh}, rep),
     )
