@@ -165,6 +165,43 @@ def test_loader_determinism():
     assert any(not np.array_equal(x, y) for x, y in zip(b1, b3))
 
 
+def test_loader_propagates_worker_errors():
+    """A dataset/transform exception must raise in the training loop,
+    not hang the consumer forever (the producer always terminates the
+    queue)."""
+    import pytest
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            if idx >= 4:
+                raise OSError("corrupt image")
+            return {"image": np.zeros((4, 4, 3), np.float32),
+                    "label": np.zeros((4, 4), np.int32)}
+
+    dl = DataLoader(Broken(), 4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in dl:
+            pass
+
+
+def test_loader_abandoned_iterator_reaps_producer():
+    """Breaking out mid-epoch (steps_per_epoch cap) must not leak the
+    producer thread blocked on a full prefetch queue."""
+    import threading
+
+    ds = SyntheticSegmentation(64, (16, 16), num_classes=4)
+    dl = DataLoader(ds, 4, shuffle=False, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):  # three abandoned epochs
+        it = iter(dl)
+        next(it)
+        it.close()  # what GC does to an abandoned generator
+    assert threading.active_count() <= before + 1
+
+
 def test_collate():
     out = collate(
         [{"a": np.zeros((2, 2)), "b": "x"}, {"a": np.ones((2, 2)), "b": "y"}]

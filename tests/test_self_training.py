@@ -166,3 +166,49 @@ def test_zs5_trainer_end_to_end(zs5_cfg):
     assert np.isfinite(stats["mmd"])
     report = t.validate(0)
     assert "harmonic_miou" in report
+
+
+def test_gt_view_undoes_weak_label_override(tmp_path):
+    """Stage A must read the REAL annotation even when the train dataset
+    was built with weak_label_dir set (rerunning train-zs5 with an
+    existing pseudo dir must not treat old pseudo PNGs as GT)."""
+    from zs3_tpu.train.self_training import _gt_view
+
+    ds = SyntheticSegmentation(4, (16, 16), num_classes=4, seed=1)
+    pseudo_dir = str(tmp_path / "pseudo")
+    os.makedirs(pseudo_dir)
+    # Fabricate a stale pseudo PNG for every image.
+    for i in range(4):
+        name = ds[i]["name"]
+        Image.fromarray(np.full((16, 16), 3, np.uint8)).save(
+            os.path.join(pseudo_dir, name + ".png")
+        )
+
+    wrapped = WeakLabelDataset(ds, pseudo_dir)
+    assert (wrapped[0]["label"] == 3).all()  # override active
+    clean = _gt_view(wrapped)
+    np.testing.assert_array_equal(clean[0]["label"], ds[0]["label"])
+
+    # VOC-style: dataset with its own weak_label_dir attribute.
+    class FakeVOC:
+        weak_label_dir = pseudo_dir
+        names = ["a"]
+
+        def __getitem__(self, i):
+            return {"label": "weak" if self.weak_label_dir else "gt"}
+
+    v = FakeVOC()
+    assert _gt_view(v)[0]["label"] == "gt"
+    assert v.weak_label_dir == pseudo_dir  # original untouched
+
+    # CombineDBs-style union wrapping the weak dataset.
+    class FakeUnion:
+        def __init__(self, sub):
+            self._items = [(sub, 0)]
+
+        def __getitem__(self, i):
+            sub, j = self._items[i]
+            return sub[j]
+
+    u = FakeUnion(FakeVOC())
+    assert _gt_view(u)[0]["label"] == "gt"

@@ -179,3 +179,16 @@ def test_tfdata_feeds_seen_trainer(voc_tree, tmp_path):
     assert np.isfinite(stats["train_loss"])
     report = trainer.validate(0)
     assert 0.0 <= report["miou"] <= 1.0
+
+
+def test_tfdata_rejects_device_preprocess(voc_tree):
+    """tfdata normalizes on the host; combining it with the device-side
+    normalize step would double-normalize silently."""
+    from zs3_tpu.data.loader import make_data_loader
+
+    cfg = DataConfig(
+        dataset="pascal", root=str(voc_tree), crop_size=33, base_size=33,
+        batch_size=2, input_pipeline="tfdata", device_preprocess=True,
+    )
+    with pytest.raises(ValueError, match="device_preprocess"):
+        make_data_loader(cfg)

@@ -180,3 +180,46 @@ def test_feature_grid_loss_trains(tiny_cfg):
     assert np.isfinite(stats["train_loss"])
     report = trainer.validate(0)
     assert 0.0 <= report["miou"] <= 1.0
+
+
+def test_no_val_fit_still_checkpoints(tiny_cfg):
+    """--no-val (eval_interval never reached) must still persist the
+    final state — checkpoints were previously only written inside
+    validate()."""
+    import dataclasses
+    import os
+
+    from zs3_tpu.utils.saver import Saver
+
+    cfg = tiny_cfg.replace(
+        train=dataclasses.replace(tiny_cfg.train, eval_interval=10**9)
+    )
+    trainer = SeenTrainer(cfg)
+    trainer.fit()
+    ckpt = Saver.latest_checkpoint(trainer.saver.directory)
+    assert ckpt is not None and os.path.isdir(ckpt)
+
+
+def test_resume_preserves_best_metric(tiny_cfg):
+    """A resumed run must not let a worse validation re-point 'best'."""
+    import dataclasses
+
+    from zs3_tpu.utils.saver import Saver
+
+    trainer = SeenTrainer(tiny_cfg)
+    trainer.train_epoch(0)
+    trainer.best_metric = 0.9  # as if a great validation happened
+    path = trainer.saver.save_checkpoint(
+        trainer.state, 2, trainer.best_metric, is_best=True
+    )
+    meta = Saver.read_meta(path)
+    assert meta["best_metric"] == 0.9
+    # read_meta through the best symlink resolves to the same sidecar
+    best = Saver.best_checkpoint(trainer.saver.directory)
+    assert Saver.read_meta(best)["best_metric"] == 0.9
+
+    cfg2 = tiny_cfg.replace(
+        train=dataclasses.replace(tiny_cfg.train, resume=path)
+    )
+    resumed = SeenTrainer(cfg2)
+    assert resumed.best_metric == 0.9

@@ -109,3 +109,35 @@ def pad_eval_batch(batch: dict, multiple: int, ignore_index: int = 255) -> dict:
         fill = ignore_index if key == "label" else 0
         out[key] = np.pad(np.asarray(value), widths, constant_values=fill)
     return out
+
+
+def device_batch(batch, mesh: Mesh, ignore_index: int, eval: bool = False):
+    """Validate + shard one host batch onto the mesh.
+
+    Single source of the trainers' batch plumbing (train batches must
+    divide the data axis; eval batches are padded with inert samples).
+    """
+    batch = {"image": batch["image"], "label": batch["label"]}
+    n_data = mesh.shape.get("data", 1)
+    if eval:
+        batch = pad_eval_batch(batch, n_data, ignore_index)
+    elif batch["image"].shape[0] % n_data:
+        raise ValueError(
+            f"train batch size {batch['image'].shape[0]} must be divisible "
+            f"by the data mesh axis ({n_data})"
+        )
+    return shard_batch(batch, mesh)
+
+
+def bounded_train_batches(loader, mesh: Mesh, max_steps: int):
+    """Host batches for one epoch, validated, capped at max_steps."""
+    n_data = mesh.shape.get("data", 1)
+    for i, batch in enumerate(loader):
+        if i >= max_steps:
+            break
+        if batch["image"].shape[0] % n_data:
+            raise ValueError(
+                f"train batch size {batch['image'].shape[0]} must be "
+                f"divisible by the data mesh axis ({n_data})"
+            )
+        yield {"image": batch["image"], "label": batch["label"]}

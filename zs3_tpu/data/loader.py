@@ -89,23 +89,70 @@ class DataLoader:
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        class _ProducerError:
+            def __init__(self, exc):
+                self.exc = exc
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    samples = list(pool.map(self._load_one, chunk))
-                    q.put(collate(samples))
-            q.put(sentinel)
+            # Contract: ALWAYS terminate with sentinel (or _ProducerError)
+            # and never block forever on a consumer that went away — a
+            # dataset/transform exception must surface in the training
+            # loop, not hang it, and an abandoned iterator (e.g.
+            # steps_per_epoch cap) must not leak this thread + pool.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        chunk = order[
+                            b * self.batch_size : (b + 1) * self.batch_size
+                        ]
+                        batch = collate(list(pool.map(self._load_one, chunk)))
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+            except BaseException as e:  # propagate to the consumer
+                while not stop.is_set():
+                    try:
+                        q.put(_ProducerError(e), timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
+            else:
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed while loading a batch"
+                    ) from item.exc
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close/GC:
+            # unblock any pending put, then reap the thread.
+            stop.set()
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                thread.join(timeout=0.05)
 
 
 def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
@@ -185,6 +232,14 @@ def make_data_loader(cfg: DataConfig, split_registry: Optional[Dict] = None):
     )
 
     if cfg.input_pipeline == "tfdata" and cfg.dataset in ("pascal", "context"):
+        if cfg.device_preprocess:
+            # tfdata normalizes on the host; the device_preprocess train
+            # step would normalize AGAIN on device — silently garbage
+            # inputs.  Refuse the combination.
+            raise ValueError(
+                "input_pipeline='tfdata' already normalizes on the host; "
+                "it cannot be combined with device_preprocess=True"
+            )
         from zs3_tpu.data.tfdata import TFDataLoader
 
         train_loader = TFDataLoader(train_ds, cfg, seed=cfg.shuffle_seed)

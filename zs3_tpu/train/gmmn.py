@@ -35,7 +35,7 @@ import optax
 from flax.training import train_state
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.core.mesh import make_mesh, pad_eval_batch, replicate, shard_batch
+from zs3_tpu.core.mesh import make_mesh, replicate
 from zs3_tpu.data.classes import CONTEXT_CLASSES, VOC_CLASSES
 from zs3_tpu.data.embeddings import load_class_embeddings
 from zs3_tpu.data.loader import make_data_loader
@@ -172,7 +172,6 @@ def make_zs3_step(
         )
     else:
         mmd_fn = batched_mmd_loss
-    ignore = cfg.data.ignore_index
     max_nb = cfg.gmmn.max_graph_neighbors
     self_training = cfg.gmmn.self_training
     seen_mask_f = 1.0 - unseen_mask  # (C,)
@@ -283,10 +282,6 @@ def make_zs3_step(
         cls_feats, cls_mask = classifier_training_set(
             real, real_mask, fake_all, unseen_mask, self_training
         )
-        cls_labels = jnp.broadcast_to(
-            jnp.arange(num_classes)[:, None], (num_classes, budget)
-        )
-
         def cls_loss_fn(cp):
             logits = (
                 jnp.einsum(
@@ -503,31 +498,24 @@ class GMMNTrainer:
 
         self.logger = MetricLogger(self.saver.directory)
         self.best_hiou = 0.0
+        if cfg.train.gmmn_resume:
+            # Carry best-so-far across a resume (see SeenTrainer).
+            self.best_hiou = float(
+                Saver.read_meta(cfg.train.gmmn_resume).get("best_metric", 0.0)
+            )
         self.steps_per_epoch = cfg.train.steps_per_epoch or len(self.train_loader)
 
     def _device_batch(self, batch, eval: bool = False):
-        batch = {"image": batch["image"], "label": batch["label"]}
-        n_data = self.mesh.shape.get("data", 1)
-        if eval:
-            batch = pad_eval_batch(batch, n_data, self.cfg.data.ignore_index)
-        elif batch["image"].shape[0] % n_data:
-            raise ValueError(
-                f"train batch size {batch['image'].shape[0]} must be divisible "
-                f"by the data mesh axis ({n_data})"
-            )
-        return shard_batch(batch, self.mesh)
+        from zs3_tpu.core.mesh import device_batch
+
+        return device_batch(batch, self.mesh, self.cfg.data.ignore_index, eval)
 
     def _train_batches(self):
-        n_data = self.mesh.shape.get("data", 1)
-        for i, batch in enumerate(self.train_loader):
-            if i >= self.steps_per_epoch:
-                break
-            if batch["image"].shape[0] % n_data:
-                raise ValueError(
-                    f"train batch size {batch['image'].shape[0]} must be "
-                    f"divisible by the data mesh axis ({n_data})"
-                )
-            yield {"image": batch["image"], "label": batch["label"]}
+        from zs3_tpu.core.mesh import bounded_train_batches
+
+        return bounded_train_batches(
+            self.train_loader, self.mesh, self.steps_per_epoch
+        )
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from zs3_tpu.core.mesh import prefetch_to_device
@@ -586,10 +574,23 @@ class GMMNTrainer:
     def fit(self) -> Dict[str, float]:
         stats: Dict[str, float] = {}
         report: Dict[str, float] = {}
+        validated = False
         for epoch in range(self.cfg.train.epochs):
             stats = self.train_epoch(epoch)
-            if (epoch + 1) % self.cfg.train.eval_interval == 0:
+            validated = (epoch + 1) % self.cfg.train.eval_interval == 0
+            if validated:
                 report = self.validate(epoch)
+        if self.cfg.train.epochs and not validated:
+            # --no-val / trailing epochs: persist the final gen+cls
+            # states (checkpoints are otherwise only written in
+            # validate()).
+            self.saver.save_checkpoint(
+                {"gen": self.gen_state, "cls": self.cls_state},
+                int(jax.device_get(self.gen_state.step)),
+                self.best_hiou,
+                is_best=False,
+                extra={"epoch": self.cfg.train.epochs - 1},
+            )
         return {**stats, **report}
 
     def final_variables(self):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.core.mesh import make_mesh, pad_eval_batch, replicate, shard_batch
+from zs3_tpu.core.mesh import make_mesh, replicate
 from zs3_tpu.data.loader import make_data_loader
 from zs3_tpu.metrics.evaluator import Evaluator
 from zs3_tpu.models.deeplab import build_deeplab
@@ -175,7 +175,19 @@ class SeenTrainer:
         if cfg.optim.use_balanced_weights:
             from zs3_tpu.utils.losses import compute_dataset_class_weights
 
-            cache = f"{cfg.train.checkpoint_dir}/{cfg.data.dataset}_class_hist.npy"
+            # Key the cache by everything that changes the filtered train
+            # set — dataset alone would silently reuse a histogram from a
+            # different unseen split / SBD / weak-label configuration.
+            split_tag = (
+                "-".join(str(c) for c in cfg.data.unseen_classes) or "none"
+            )
+            variant = ("_sbd" if cfg.data.use_sbd else "") + (
+                "_weak" if cfg.data.weak_label_dir else ""
+            )
+            cache = (
+                f"{cfg.train.checkpoint_dir}/{cfg.data.dataset}"
+                f"_u{split_tag}{variant}_class_hist.npy"
+            )
             class_weights = compute_dataset_class_weights(
                 self.train_loader.dataset,
                 num_classes,
@@ -222,32 +234,25 @@ class SeenTrainer:
             self.saver.directory, tensorboard=cfg.train.tensorboard
         )
         self.best_metric = 0.0
+        if cfg.train.resume and not cfg.train.finetune:
+            # Carry the best-so-far across a resume so a post-crash
+            # validation can't re-point 'best' at a worse model.
+            self.best_metric = float(
+                Saver.read_meta(cfg.train.resume).get("best_metric", 0.0)
+            )
         self.history = []
 
     def _device_batch(self, batch, eval: bool = False):
-        batch = {"image": batch["image"], "label": batch["label"]}
-        n_data = self.mesh.shape.get("data", 1)
-        if eval:
-            batch = pad_eval_batch(batch, n_data, self.cfg.data.ignore_index)
-        elif batch["image"].shape[0] % n_data:
-            raise ValueError(
-                f"train batch size {batch['image'].shape[0]} must be divisible "
-                f"by the data mesh axis ({n_data})"
-            )
-        return shard_batch(batch, self.mesh)
+        from zs3_tpu.core.mesh import device_batch
+
+        return device_batch(batch, self.mesh, self.cfg.data.ignore_index, eval)
 
     def _train_batches(self):
-        """Host batches for one epoch, validated, capped at steps_per_epoch."""
-        n_data = self.mesh.shape.get("data", 1)
-        for i, batch in enumerate(self.train_loader):
-            if i >= self.steps_per_epoch:
-                break
-            if batch["image"].shape[0] % n_data:
-                raise ValueError(
-                    f"train batch size {batch['image'].shape[0]} must be "
-                    f"divisible by the data mesh axis ({n_data})"
-                )
-            yield {"image": batch["image"], "label": batch["label"]}
+        from zs3_tpu.core.mesh import bounded_train_batches
+
+        return bounded_train_batches(
+            self.train_loader, self.mesh, self.steps_per_epoch
+        )
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from zs3_tpu.core.mesh import prefetch_to_device
@@ -304,6 +309,18 @@ class SeenTrainer:
         )
         return report.as_dict()
 
+    @functools.cached_property
+    def _panel_predict(self):
+        # Built once: defining the jit inside _log_panels would create a
+        # fresh closure per validation, forcing a full-model recompile
+        # every epoch with tensorboard on.
+        @jax.jit
+        def predict(state, images):
+            logits = state.apply_fn(state.eval_variables(), images, train=False)
+            return jnp.argmax(logits, axis=-1)
+
+        return predict
+
     def _log_panels(self, batch):
         """Input / GT / prediction color panels (reference
         TensorboardSummary.visualize_image)."""
@@ -312,13 +329,10 @@ class SeenTrainer:
         from zs3_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from zs3_tpu.utils.viz import decode_segmap
 
-        @jax.jit
-        def predict(state, images):
-            logits = state.apply_fn(state.eval_variables(), images, train=False)
-            return jnp.argmax(logits, axis=-1)
-
         dev = self._device_batch(batch, eval=True)
-        pred = np.asarray(jax.device_get(predict(self.state, dev["image"])))[0]
+        pred = np.asarray(
+            jax.device_get(self._panel_predict(self.state, dev["image"]))
+        )[0]
         img = np.asarray(batch["image"][0])
         img = np.clip((img * IMAGENET_STD + IMAGENET_MEAN) * 255, 0, 255).astype(
             np.uint8
@@ -336,8 +350,22 @@ class SeenTrainer:
 
     def fit(self) -> Dict[str, float]:
         last_report: Dict[str, float] = {}
+        stats: Dict[str, float] = {}
+        validated = False
         for epoch in range(self.cfg.train.epochs):
             stats = self.train_epoch(epoch)
-            if (epoch + 1) % self.cfg.train.eval_interval == 0:
+            validated = (epoch + 1) % self.cfg.train.eval_interval == 0
+            if validated:
                 last_report = self.validate(epoch)
+        if self.cfg.train.epochs and not validated:
+            # --no-val (or trailing epochs past the last eval_interval
+            # boundary): still persist the final state — checkpoints are
+            # otherwise only written inside validate().
+            self.saver.save_checkpoint(
+                self.state,
+                int(jax.device_get(self.state.step)),
+                self.best_metric,
+                is_best=False,
+                extra={"epoch": self.cfg.train.epochs - 1},
+            )
         return {**stats, **last_report}

@@ -189,6 +189,34 @@ class WeakLabelDataset:
         return sample
 
 
+def _gt_view(dataset):
+    """A view of `dataset` serving the REAL (weak) annotation.
+
+    Stage A (pseudo-labeling) must never read pseudo PNGs from a
+    previous run as if they were ground truth — rerunning train-zs5
+    with an existing pseudo_labels dir would otherwise freeze the last
+    model's outputs into the annotation and drift.  Undoes any
+    weak_label_dir override, recursively through wrappers/unions.
+    """
+    import copy
+
+    if isinstance(dataset, WeakLabelDataset):
+        return _gt_view(dataset.dataset)
+    if getattr(dataset, "weak_label_dir", None):
+        ds = copy.copy(dataset)
+        ds.weak_label_dir = None
+        return ds
+    if hasattr(dataset, "_items"):  # CombineDBs: clean each sub-dataset
+        ds = copy.copy(dataset)
+        cleaned: dict = {}
+        ds._items = [
+            (cleaned.setdefault(id(sub), _gt_view(sub)), i)
+            for sub, i in dataset._items
+        ]
+        return ds
+    return dataset
+
+
 class ZS5Trainer(GMMNTrainer):
     """Stage A: pseudo-label with the current ZS3Net; stage B: GMMN
     retraining over the augmented (weak) label set."""
@@ -231,9 +259,7 @@ class ZS5Trainer(GMMNTrainer):
         """Run stage A with the current (trunk + retrained-classifier)
         network over the train set."""
         variables = splice_classifier(self.trunk_variables, self.cls_state.params)
-        base = self.train_loader.dataset
-        if isinstance(base, WeakLabelDataset):
-            base = base.dataset
+        base = _gt_view(self.train_loader.dataset)
         return generate_pseudo_labels(
             self.model,
             variables,

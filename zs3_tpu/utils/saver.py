@@ -106,6 +106,22 @@ class Saver:
         return ckpt.restore(path, target=jax.device_get(target))
 
     @staticmethod
+    def read_meta(path: str) -> Dict[str, Any]:
+        """Sidecar metadata ({} if absent) for a checkpoint path.
+
+        Resolves the 'best' symlink so both best/ and ckpt_N find their
+        JSON.  Resume paths use this to restore best_metric — otherwise
+        the first post-resume validation would re-point 'best' at a
+        possibly much worse model.
+        """
+        real = os.path.realpath(path)
+        meta = real.rstrip("/") + ".json"
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return json.load(f)
+        return {}
+
+    @staticmethod
     def latest_checkpoint(experiment_dir: str) -> Optional[str]:
         if not os.path.isdir(experiment_dir):
             return None
