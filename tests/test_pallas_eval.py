@@ -45,3 +45,15 @@ def test_predict_labels_dispatch_cpu(rng):
     logits = rng.standard_normal((1, 9, 9, 4)).astype(np.float32)
     got = np.asarray(predict_labels(jnp.asarray(logits), (33, 33)))
     np.testing.assert_array_equal(got, _oracle(logits, (33, 33)))
+
+
+@pytest.mark.parametrize("bsz", [24, 32])
+def test_large_batch_chunking(bsz, rng):
+    """Batches above _MAX_B take the lax.map chunked path (Mosaic scoped
+    VMEM degrades past ~16 rows at 513² — DESIGN.md); output must be
+    bit-identical to the oracle across the chunk boundaries."""
+    logits = rng.standard_normal((bsz, 9, 9, 5)).astype(np.float32)
+    got = np.asarray(
+        upsample_argmax(jnp.asarray(logits), (33, 33), interpret=True)
+    )
+    np.testing.assert_array_equal(got, _oracle(logits, (33, 33)))
