@@ -48,11 +48,18 @@ def test_deeplab_assembly(backbone):
     assert logits.shape == (1, 65, 65, 5)
     feats = m.apply(variables, x, method="forward_features")
     assert feats.shape[-1] == 256
-    # train mode runs and updates stats
+    # train mode runs and actually CHANGES the running statistics
+    # (truthiness of the returned tree alone would pass even if BN
+    # returned its inputs unchanged).
     _, updates = m.apply(
         variables, x, train=True, deterministic=True, mutable=["batch_stats"]
     )
-    assert updates["batch_stats"]
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(after, before)
+    )
 
 
 def test_mobilenet_dilation_rewrite():

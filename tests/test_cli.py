@@ -134,3 +134,15 @@ def test_convert_weights_command(tmp_path, capsys):
     stem = np.asarray(restored.params["encoder"]["stem_conv"]["conv"]["kernel"])
     torch_stem = tmodel50.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(stem, torch_stem, rtol=1e-6)
+
+    # Mismatched depth must fail loudly, not graft a wrong-shaped encoder
+    # (the (2,2,2,2) pth has fewer blocks than resnet50's (3,4,6,3)).
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatch"):
+        main(
+            ["convert-weights", str(pth), "--output", str(tmp_path / "bad"),
+             "--backbone", "resnet50", "--dataset", "synthetic",
+             "--crop-size", "65", "--base-size", "65",
+             "--compute-dtype", "float32"]
+        )

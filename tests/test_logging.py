@@ -47,13 +47,17 @@ def test_decode_sequence_and_ignore():
 
 
 def test_step_timer_discards_warmup():
+    """The slow first (warmup) step must not pollute the mean: with a
+    0.2 s warmup step and 0.01 s steady steps, a mean anywhere near the
+    all-steps average (~0.073 s) means warmup was counted."""
     timer = StepTimer(warmup=1)
     import time
 
-    for _ in range(3):
+    durations = [0.2, 0.01, 0.01]
+    for d in durations:
         with timer:
-            time.sleep(0.01)
-    assert 0.005 < timer.mean < 0.1
+            time.sleep(d)
+    assert 0.005 < timer.mean < 0.05
     assert timer.steps_per_sec() > 0
 
 

@@ -79,8 +79,13 @@ def test_compute_dataset_class_weights(tmp_path, rng):
     # cache round trip gives identical weights
     w2 = compute_dataset_class_weights(ds, 4, cache_path=cache)
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
-    # rarer classes get larger weights
+    # The histogram must actually count pixels (an all-zero histogram
+    # would yield constant weights and pass a >= ordering check).
     hist = np.load(cache)
+    assert hist.sum() > 0
+    # Rarer classes get STRICTLY larger weights (frequencies differ on
+    # this synthetic split, so equality means the balancing is broken).
     order_by_freq = np.argsort(hist)
+    assert hist[order_by_freq[0]] < hist[order_by_freq[-1]]
     w = np.asarray(w1)
-    assert w[order_by_freq[0]] >= w[order_by_freq[-1]]
+    assert w[order_by_freq[0]] > w[order_by_freq[-1]]

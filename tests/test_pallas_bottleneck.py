@@ -100,3 +100,50 @@ def test_stem_s2d_in_backbone(rng):
     np.testing.assert_allclose(
         np.asarray(lo_on), np.asarray(lo_off), atol=1e-3
     )
+
+
+def test_oracle_matches_model_bottleneck(rng):
+    """bottleneck_oracle — the parity target every fused-kernel test
+    pins against — must itself equal the real models.resnet.Bottleneck
+    (eval mode, BN folded via fold_bn).  Without this anchor the kernel
+    and its oracle could share a deviation from the block they claim to
+    fuse, and the negative-result measurements would compare the wrong
+    computation."""
+    from zs3_tpu.models.resnet import Bottleneck
+
+    planes, H = 4, 8
+    m = Bottleneck(planes=planes, dilation=2)
+    x = jnp.asarray(rng.standard_normal((1, H, H, planes * 4)), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    # Non-trivial BN parameters/statistics so the folding is exercised.
+    gen = np.random.default_rng(1)
+    for bn in ("bn1", "bn2", "bn3"):
+        n = params[bn]["bn"]["scale"].shape[0]
+        params[bn]["bn"]["scale"] = gen.uniform(0.5, 1.5, n).astype(np.float32)
+        params[bn]["bn"]["bias"] = gen.standard_normal(n).astype(np.float32)
+        stats[bn]["bn"]["mean"] = (0.1 * gen.standard_normal(n)).astype(
+            np.float32
+        )
+        stats[bn]["bn"]["var"] = gen.uniform(0.5, 1.5, n).astype(np.float32)
+    ref = m.apply({"params": params, "batch_stats": stats}, x, train=False)
+
+    def fold(conv, bn):
+        return fold_bn(
+            jnp.asarray(params[conv]["conv"]["kernel"]),
+            jnp.asarray(params[bn]["bn"]["scale"]),
+            jnp.asarray(params[bn]["bn"]["bias"]),
+            jnp.asarray(stats[bn]["bn"]["mean"]),
+            jnp.asarray(stats[bn]["bn"]["var"]),
+        )
+
+    w1, b1 = fold("conv1", "bn1")
+    w2, b2 = fold("conv2", "bn2")
+    w3, b3 = fold("conv3", "bn3")
+    got = bottleneck_oracle(
+        x, w1[0, 0], b1, w2, b2, w3[0, 0], b3, dilation=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )

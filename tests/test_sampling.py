@@ -64,6 +64,25 @@ def test_downsample_labels():
     assert out.shape == (1, 2, 2)
 
 
+def test_downsample_labels_values_and_aspect():
+    """Nearest semantics on a rectangular grid: values must come from
+    the source (never blended) and the (H, W) axes must not be swapped.
+    Quadrant labels 4h x 8w -> 2 x 4 keeps the left/right split at
+    column 2."""
+    lbl = np.zeros((1, 4, 8), np.int32)
+    lbl[:, :2, :4] = 1  # top-left
+    lbl[:, :2, 4:] = 2  # top-right
+    lbl[:, 2:, :4] = 3  # bottom-left
+    lbl[:, 2:, 4:] = 4  # bottom-right
+    out = np.asarray(downsample_labels(jnp.asarray(lbl), (2, 4)))
+    assert out.shape == (1, 2, 4)
+    np.testing.assert_array_equal(out[0, 0, :2], [1, 1])
+    np.testing.assert_array_equal(out[0, 0, 2:], [2, 2])
+    np.testing.assert_array_equal(out[0, 1, :2], [3, 3])
+    np.testing.assert_array_equal(out[0, 1, 2:], [4, 4])
+    assert set(np.unique(out)) <= {1, 2, 3, 4}  # no blending
+
+
 def test_class_adjacency_simple():
     # two vertical stripes: class 1 | class 2, touching along one column
     lbl = np.zeros((1, 4, 4), np.int32)

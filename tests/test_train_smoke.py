@@ -223,3 +223,12 @@ def test_resume_preserves_best_metric(tiny_cfg):
     )
     resumed = SeenTrainer(cfg2)
     assert resumed.best_metric == 0.9
+
+    # A post-resume validation that scores WORSE than the restored best
+    # (mIoU of a barely-trained model << 0.9) must not mark itself best:
+    # no 'best' symlink may appear in the resumed experiment.
+    report = resumed.validate(0)
+    assert report["miou"] < 0.9
+    assert resumed.best_metric == 0.9
+    assert Saver.best_checkpoint(resumed.saver.directory) is None
+    assert Saver.latest_checkpoint(resumed.saver.directory) is not None

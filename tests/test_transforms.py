@@ -34,6 +34,23 @@ def test_fix_scale_crop_center(sample):
     assert out["image"].shape == (32, 32, 3)
 
 
+def test_fix_scale_crop_geometry():
+    """Short side scales to crop_size and the crop is CENTERED.
+
+    40h x 60w input, crop 32: short side 40 -> 32, so width becomes 48
+    and the center crop keeps columns 8..40.  A half/half label pattern
+    must therefore split exactly down the output's middle — a top-left
+    crop (24/8 split) or long-side scaling (out-of-range crop) fails.
+    """
+    label = np.zeros((40, 60), np.uint8)
+    label[:, 30:] = 1
+    s = {"image": np.zeros((40, 60, 3), np.uint8), "label": label}
+    out = T.fix_scale_crop(s, crop_size=32)
+    assert out["label"].shape == (32, 32)
+    assert (out["label"][:, :16] == 0).all()
+    assert (out["label"][:, 16:] == 1).all()
+
+
 def test_fixed_resize(sample):
     out = T.fixed_resize(sample, 24)
     assert out["image"].shape == (24, 24, 3)
@@ -102,9 +119,15 @@ def test_device_batched_flip():
         jax.random.bernoulli(jax.random.key(0), 0.5, (2,))
     )
     for b in range(2):
+        # Image and label must flip TOGETHER (a mismatch silently
+        # destroys spatial correspondence under device_preprocess).
         if flips[b]:
             np.testing.assert_array_equal(
                 np.asarray(out_l[b]), np.asarray(lbls[b, :, ::-1])
             )
+            np.testing.assert_array_equal(
+                np.asarray(out_i[b]), np.asarray(imgs[b, :, ::-1])
+            )
         else:
             np.testing.assert_array_equal(np.asarray(out_l[b]), np.asarray(lbls[b]))
+            np.testing.assert_array_equal(np.asarray(out_i[b]), np.asarray(imgs[b]))

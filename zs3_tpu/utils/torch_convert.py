@@ -480,6 +480,14 @@ def load_pretrained_backbone(
     if "state_dict" in state_dict:
         state_dict = state_dict["state_dict"]
     params, stats = convert_backbone(backbone, state_dict)
+    # Fail loudly on depth/width mismatches: grafting an encoder whose
+    # shapes differ from the model's would only surface later as an
+    # opaque jit or checkpoint-restore error.
+    assert_tree_shapes_match(variables["params"]["encoder"], params, "params")
+    if "encoder" in variables.get("batch_stats", {}):
+        assert_tree_shapes_match(
+            variables["batch_stats"]["encoder"], stats, "batch_stats"
+        )
     return graft_encoder(variables, params, stats)
 
 
