@@ -48,8 +48,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     size = 513 if on_tpu else 65
-    bt = 16 if on_tpu else 4  # train batch
-    be = 16 if on_tpu else 4  # eval batch
+    bt = 16 if on_tpu else 4  # batch (train, eval, and zs3 steps)
     backbone = "resnet101" if on_tpu else "resnet50"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -87,14 +86,17 @@ def main():
     # --- eval step (fused pallas upsample+argmax + on-device confusion)
     eval_step = make_eval_step(21)
     eval_state = holder["state"]
+    # Distinct inputs per call, materialized BEFORE the timed region —
+    # an eager `img + eps` inside the timed loop is its own dispatch
+    # through the relay and can stall the pipeline (measured: it cost a
+    # probe ~2x at B32).
+    eval_imgs = [(img + 1e-4 * i).block_until_ready() for i in range(10)]
 
     def d_eval(i):
-        return eval_step(
-            eval_state, {"image": img + 1e-4 * i, "label": lbl}
-        )
+        return eval_step(eval_state, {"image": eval_imgs[i], "label": lbl})
 
     dt = _timed(d_eval, lambda r: float(jnp.sum(r)))
-    results["eval_images_per_sec"] = be / dt
+    results["eval_images_per_sec"] = bt / dt
 
     # --- fused ZS3 GMMN step
     gen = build_gmmn(cfg.gmmn)
