@@ -44,6 +44,14 @@ def test_rle_to_mask_column_major():
         rle_to_mask({"counts": [2, 2], "size": [2, 3]}, 2, 3)
 
 
+def test_rle_to_mask_rejects_polygon_segmentation():
+    # COCO-style JSON also allows polygon form (list of coordinate
+    # lists); we don't rasterize those — require a clear error, not an
+    # AttributeError deep in the codec.
+    with pytest.raises(ValueError, match="polygon segmentations"):
+        rle_to_mask([[0.0, 0.0, 4.0, 0.0, 4.0, 4.0]], 4, 4)
+
+
 def _square_rle(h, w, y0, y1, x0, x1):
     """Compressed RLE string for a filled [y0:y1, x0:x1] rectangle."""
     mask = np.zeros((h, w), np.bool_)
@@ -99,8 +107,13 @@ def test_prepare_context_end_to_end(tmp_path):
     with open(json_path, "w") as f:
         json.dump(data, f)
 
-    stats = prepare_context(json_path, root)
-    assert stats == {"images": 2, "skipped": 1, "train": 1, "val": 1}
+    with pytest.warns(UserWarning, match="no category in the JSON"):
+        stats = prepare_context(json_path, root)
+    assert stats == {
+        "images": 2, "skipped": 1, "train": 1, "val": 1,
+        # only cow + sky of the 59 appear in this fabricated JSON
+        "matched_classes": 2, "unmatched_classes": 57,
+    }
 
     lbl = np.asarray(Image.open(
         tmp_path / "VOC2010" / "SegmentationClassContext" / "2008_000001.png"

@@ -81,6 +81,14 @@ def rle_to_mask(segmentation: Dict, height: int, width: int) -> np.ndarray:
 
     Runs alternate background/foreground starting with background and
     fill the mask COLUMN-major (Fortran order), per the COCO spec."""
+    if not isinstance(segmentation, dict):
+        # COCO-style JSON also allows polygon segmentations (a list of
+        # coordinate lists); the detail API ships RLE dicts only, and
+        # rasterizing polygons needs geometry code we don't carry.
+        raise ValueError(
+            "polygon segmentations (list form) are unsupported; expected "
+            f"an RLE dict {{'counts', 'size'}}, got {type(segmentation).__name__}"
+        )
     h, w = segmentation.get("size", (height, width))
     if (h, w) != (height, width):
         # Trusting a stale/swapped embedded size would produce a
@@ -135,6 +143,31 @@ def prepare_context(
         cid: name_to_idx.get(cat.get("name"), 255)
         for cid, cat in categories.items()
     }
+    # Unmatched registry names would silently drop whole classes to 255
+    # in every prepared label map (a partial naming drift between the
+    # JSON's category names and CONTEXT_CLASSES is otherwise invisible:
+    # only all-255 images get skipped). Surface it: report in stats,
+    # warn on partial drift, and raise when nothing matches at all —
+    # that can only be a wrong file or a wholesale naming scheme change.
+    json_names = {cat.get("name") for cat in categories.values()}
+    unmatched = [n for n in CONTEXT_CLASSES if n not in json_names]
+    if len(unmatched) == len(CONTEXT_CLASSES):
+        raise ValueError(
+            f"none of the {len(CONTEXT_CLASSES)} registry class names "
+            f"match any category in {os.path.basename(json_path)!r} "
+            f"(sample JSON names: {sorted(n for n in json_names if n)[:6]}) "
+            "— wrong annotation file, or the naming scheme drifted; fix "
+            "zs3_tpu/data/classes.py before preparing."
+        )
+    if unmatched:
+        import warnings
+
+        warnings.warn(
+            f"{len(unmatched)} of {len(CONTEXT_CLASSES)} registry class "
+            f"names have no category in the JSON and will be absent from "
+            f"every prepared label map: {unmatched}",
+            stacklevel=2,
+        )
     annos = data.get("annos_segmentation", data.get("annotations", []))
     by_image: Dict = {}
     for anno in annos:
@@ -147,7 +180,12 @@ def prepare_context(
     os.makedirs(split_dir, exist_ok=True)
 
     splits: Dict[str, List[str]] = {}
-    stats = {"images": 0, "skipped": 0}
+    stats = {
+        "images": 0,
+        "skipped": 0,
+        "matched_classes": len(CONTEXT_CLASSES) - len(unmatched),
+        "unmatched_classes": len(unmatched),
+    }
     for image in data["images"]:
         image_id = image.get("image_id", image.get("id"))
         name = os.path.splitext(image["file_name"])[0]
