@@ -90,6 +90,82 @@ def test_export_requires_checkpoint(tmp_path):
         export_predictor(cfg)
 
 
+def _save_seen_checkpoint(cfg, path):
+    """Seen-stage SegTrainState checkpoint (what train-seen writes)."""
+    import orbax.checkpoint as ocp
+
+    from zs3_tpu.models.deeplab import build_deeplab
+    from zs3_tpu.train.state import create_seg_state
+
+    model = build_deeplab(cfg.model)
+    state = create_seg_state(
+        model, cfg, jax.random.key(cfg.train.seed),
+        (1, cfg.data.crop_size, cfg.data.crop_size, 3), total_steps=1,
+    )
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, jax.device_get(state))
+    ckpt.wait_until_finished()
+
+
+def _save_gmmn_checkpoint(path, kernel, bias):
+    """{"gen","cls"} payload shaped like GMMNTrainer.validate writes."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, {
+        "gen": {"params": {"hidden0": {"kernel": np.zeros((4, 4), np.float32)}},
+                "step": np.int32(1)},
+        "cls": {"params": {"kernel": kernel, "bias": bias},
+                "step": np.int32(1)},
+    })
+    ckpt.wait_until_finished()
+
+
+def test_export_splices_gmmn_classifier(tmp_path):
+    """The zero-shot deliverable: export --resume <seen> --gmmn-resume
+    <gmmn ckpt> must serve the retrained classifier, exactly as
+    evaluate-gmmn splices it (VERDICT r2 / advisor export.py finding)."""
+    cfg = _cfg(tmp_path)
+    seen = str(tmp_path / "seen_ckpt")
+    _save_seen_checkpoint(cfg, seen)
+    # A classifier whose bias overwhelmingly favors class 2 makes the
+    # splice observable: every exported label must be 2.
+    kernel = np.zeros((256, 4), np.float32)
+    bias = np.array([0.0, 0.0, 100.0, 0.0], np.float32)
+    gmmn = str(tmp_path / "gmmn_ckpt")
+    _save_gmmn_checkpoint(gmmn, kernel, bias)
+
+    blob, manifest = export_predictor(
+        cfg, checkpoint=seen, gmmn_checkpoint=gmmn, batch_size=1
+    )
+    assert manifest["zero_shot_classifier"] is True
+    path = str(tmp_path / "zs.shlo")
+    save_exported(path, blob, manifest)
+    out = np.asarray(load_exported(path)(np.zeros((1, 33, 33, 3), np.uint8)))
+    np.testing.assert_array_equal(out, 2)
+
+
+def test_export_rejects_gmmn_checkpoint_as_trunk(tmp_path):
+    """Pointing --resume at a gen/cls payload must fail with directions,
+    not an orbax structure-mismatch traceback."""
+    cfg = _cfg(tmp_path)
+    gmmn = str(tmp_path / "gmmn_ckpt")
+    _save_gmmn_checkpoint(
+        gmmn, np.zeros((256, 4), np.float32), np.zeros((4,), np.float32)
+    )
+    with pytest.raises(ValueError, match="gmmn-resume"):
+        export_predictor(cfg, checkpoint=gmmn)
+
+
+def test_export_rejects_trunk_checkpoint_as_gmmn(tmp_path):
+    """And the converse: --gmmn-resume at a seen-stage checkpoint."""
+    cfg = _cfg(tmp_path)
+    seen = str(tmp_path / "seen_ckpt")
+    _save_seen_checkpoint(cfg, seen)
+    with pytest.raises(ValueError, match="not a GMMN-stage"):
+        export_predictor(cfg, checkpoint=seen, gmmn_checkpoint=seen)
+
+
 def test_export_cli(tmp_path, capsys):
     from zs3_tpu.cli import main
 

@@ -53,7 +53,7 @@ def test_predict_labels_dispatch_cpu(rng):
     np.testing.assert_array_equal(got, kernel)
 
 
-@pytest.mark.parametrize("bsz", [24, 32])
+@pytest.mark.parametrize("bsz", [17, 23, 24, 32])
 def test_large_batch_chunking(bsz, rng):
     """Batches above _MAX_B take the lax.map chunked path (Mosaic scoped
     VMEM degrades past ~16 rows at 513² — DESIGN.md); output must be

@@ -167,6 +167,47 @@ def test_gmmn_converter_parity(naming):
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
 
 
+def test_gmmn_converter_sorted_key_order():
+    """A re-serialized checkpoint (safetensors/json) iterates keys
+    lexicographically — 'main.10' before 'main.2'.  With equal hidden
+    widths the shapes still line up, so a converter relying on insertion
+    order would graft swapped hidden layers silently.  Sequential-style
+    prefixes must be ordered by their numeric index."""
+    from zs3_tpu.models.gmmn import GMMNGenerator
+    from zs3_tpu.utils.torch_convert import convert_gmmn
+
+    embed_dim, noise_dim, hidden, feat = 6, 4, 8, 5
+    torch.manual_seed(11)
+    tmodel = torch.nn.Sequential(
+        torch.nn.Linear(embed_dim + noise_dim, hidden),   # main.0
+        torch.nn.LeakyReLU(0.2), torch.nn.Dropout(0.0),
+        torch.nn.Linear(hidden, hidden),                  # main.3 (same width)
+        torch.nn.LeakyReLU(0.2),
+        # identity index fillers so the last Linear lands at index 10
+        torch.nn.Dropout(0.0), torch.nn.Dropout(0.0),
+        torch.nn.Dropout(0.0), torch.nn.Dropout(0.0), torch.nn.Dropout(0.0),
+        torch.nn.Linear(hidden, feat),                    # main.10
+        torch.nn.ReLU(),
+    )
+    tmodel.eval()
+    sd = {f"main.{k}": v for k, v in tmodel.state_dict().items()}
+    resorted = {k: sd[k] for k in sorted(sd)}  # main.10 now precedes main.3
+    assert list(resorted) != list(sd)
+    params = convert_gmmn(resorted)
+
+    fmodel = GMMNGenerator(
+        noise_dim=noise_dim, embed_dim=embed_dim, hidden_dim=hidden,
+        feature_dim=feat, num_hidden=2,
+    )
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((4, embed_dim)).astype(np.float32)
+    noise = rng.standard_normal((4, noise_dim)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(np.concatenate([emb, noise], -1)))
+    f_out = fmodel.apply({"params": params}, jnp.asarray(emb), jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+
+
 def test_gmmn_converter_rejects_garbage():
     from zs3_tpu.utils.torch_convert import convert_gmmn
 

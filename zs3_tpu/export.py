@@ -53,9 +53,43 @@ def make_inference_fn(model, variables, emit: str = "labels") -> Callable:
     return infer
 
 
+def _checkpoint_keys(path: str) -> set:
+    """Top-level pytree keys of an orbax checkpoint (no array loads)."""
+    import orbax.checkpoint as ocp
+
+    meta = ocp.StandardCheckpointer().metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    return set(tree.keys()) if hasattr(tree, "keys") else set()
+
+
+def restore_retrained_classifier(path: str, num_classes: int) -> dict:
+    """Pull the retrained (D, C) classifier out of a GMMN/ZS5-stage
+    checkpoint ({"gen","cls"} payload written by GMMNTrainer.validate)."""
+    import orbax.checkpoint as ocp
+
+    keys = _checkpoint_keys(path)
+    if "cls" not in keys:
+        raise ValueError(
+            f"{path!r} is not a GMMN-stage checkpoint (top-level keys "
+            f"{sorted(keys)}, expected 'gen'/'cls'); pass the seen-stage "
+            "trunk via --resume and a train-gmmn/train-zs5 checkpoint "
+            "via --gmmn-resume"
+        )
+    raw = ocp.StandardCheckpointer().restore(path)
+    cls = raw["cls"]["params"]
+    if cls["kernel"].shape[-1] != num_classes:
+        raise ValueError(
+            f"retrained classifier in {path!r} has "
+            f"{cls['kernel'].shape[-1]} classes, config says {num_classes}"
+        )
+    return {"kernel": cls["kernel"], "bias": cls["bias"]}
+
+
 def export_predictor(
     cfg: Config,
     checkpoint: Optional[str] = None,
+    gmmn_checkpoint: Optional[str] = None,
     batch_size: int = 1,
     emit: str = "labels",
     platforms: Optional[Sequence[str]] = None,
@@ -63,6 +97,10 @@ def export_predictor(
 ) -> Tuple[bytes, dict]:
     """Export the (checkpoint-restored) inference path to StableHLO bytes.
 
+    `checkpoint` restores the seen-stage trunk (SegTrainState payload);
+    `gmmn_checkpoint` additionally splices the retrained zero-shot
+    classifier out of a train-gmmn/train-zs5 {"gen","cls"} checkpoint —
+    the actual ZS3 deliverable — exactly as evaluate-gmmn serves it.
     `platforms=None` lowers for the current backend; pass e.g.
     ("tpu", "cpu") for a multi-platform artifact (cross-lowering works
     from any host).  Returns (serialized bytes, manifest dict).
@@ -82,7 +120,18 @@ def export_predictor(
         total_steps=1,
     )
     ckpt = checkpoint or cfg.train.resume
+    gmmn_ckpt = gmmn_checkpoint or cfg.train.gmmn_resume
     if ckpt:
+        if {"gen", "cls"} <= _checkpoint_keys(ckpt):
+            # A gmmn/zs5 checkpoint holds only generator + classifier
+            # states, not the trunk — fail with directions instead of an
+            # orbax structure-mismatch traceback.
+            raise ValueError(
+                f"--resume {ckpt!r} is a GMMN-stage checkpoint "
+                "(gen/cls payload, no trunk weights); pass the "
+                "seen-stage checkpoint via --resume and this one via "
+                "--gmmn-resume to export the zero-shot model"
+            )
         state = Saver.restore(ckpt, state)
     elif not allow_random:
         # Without this guard a forgotten --resume exports a randomly
@@ -94,6 +143,13 @@ def export_predictor(
             "allow_random=True / --allow-random for a smoke artifact)"
         )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if gmmn_ckpt:
+        from zs3_tpu.train.gmmn import splice_classifier
+
+        cls_params = restore_retrained_classifier(
+            gmmn_ckpt, cfg.model.num_classes
+        )
+        variables = splice_classifier(variables, cls_params)
     infer = make_inference_fn(model, variables, emit)
     size = cfg.data.crop_size
     spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
@@ -120,6 +176,7 @@ def export_predictor(
         "batch_size": batch_size,
         "crop_size": size,
         "emit": emit,
+        "zero_shot_classifier": bool(gmmn_ckpt),
     }
     return exported.serialize(), manifest
 

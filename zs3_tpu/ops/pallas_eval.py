@@ -68,17 +68,27 @@ def upsample_argmax(
     scoped-VMEM accounting degrades past ~16 batch rows at 513² (B32
     measured 3.8x slower per batch than B16; B64 fails outright with a
     19 MB scoped-vmem overflow), and the grid is sequential on the
-    single tensorcore anyway, so chunking costs nothing.
+    single tensorcore anyway, so chunking costs nothing.  Batches that
+    don't divide into <=_MAX_B chunks (e.g. a prime 17) are zero-padded
+    to the smallest even chunking rather than collapsing to chunk=1
+    (one pallas_call per sample, ~16x the dispatches); padded rows are
+    sliced off the output.
     """
     bsz, hi, wi, c = logits.shape
     ho, wo = size
     if bsz > _MAX_B:
-        chunk = max(d for d in range(1, _MAX_B + 1) if bsz % d == 0)
+        n_chunks = pl.cdiv(bsz, _MAX_B)
+        chunk = pl.cdiv(bsz, n_chunks)
+        padded = n_chunks * chunk
+        if padded != bsz:
+            logits = jnp.concatenate(
+                [logits, jnp.zeros((padded - bsz, hi, wi, c), logits.dtype)]
+            )
         out = jax.lax.map(
             lambda x: upsample_argmax(x, size, align_corners, interpret),
-            logits.reshape(bsz // chunk, chunk, hi, wi, c),
+            logits.reshape(n_chunks, chunk, hi, wi, c),
         )
-        return out.reshape(bsz, ho, wo)
+        return out.reshape(padded, ho, wo)[:bsz]
     wh = jnp.asarray(_linear_matrix_np(hi, ho, align_corners))
     ww = jnp.asarray(_linear_matrix_np(wi, wo, align_corners))
     # channels-major layout so the kernel slices (HI, WI) planes

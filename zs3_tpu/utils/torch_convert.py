@@ -401,6 +401,13 @@ def convert_gmmn(state_dict: Mapping[str, Any]) -> Dict:
     are irrelevant), all but the last become hidden0..hiddenN-2 and the
     last becomes `out`.  Linear weight (out,in) transposes to Dense
     kernel (in,out).
+
+    When every prefix is Sequential-style (`<base>.<int>`), layers are
+    ordered by the numeric index rather than state_dict insertion order:
+    a checkpoint re-serialized with lexicographically sorted keys
+    (safetensors, json) puts `main.10` before `main.2`, and with equal
+    hidden widths the shapes still match — the graft would silently
+    swap hidden layers.
     """
     order = []
     groups: Dict[str, Dict[str, np.ndarray]] = {}
@@ -423,6 +430,14 @@ def convert_gmmn(state_dict: Mapping[str, Any]) -> Dict:
         groups[prefix][field] = arr
     if not order:
         raise ValueError("no Linear layers found in gmmn state_dict")
+
+    def _seq_index(prefix: str):
+        base, _, idx = prefix.rpartition(".")
+        return (base, int(idx)) if idx.isdigit() else None
+
+    seq = [_seq_index(p) for p in order]
+    if all(s is not None for s in seq) and len({s[0] for s in seq}) == 1:
+        order.sort(key=lambda p: _seq_index(p)[1])
     params: Dict = {}
     for i, prefix in enumerate(order):
         group = groups[prefix]
