@@ -57,6 +57,45 @@ def test_fixed_resize(sample):
     assert out["label"].shape == (24, 24)
 
 
+def test_letterbox_preserves_aspect_ratio():
+    """40h x 80w at size 32: long side 80 -> 32, so content is 16x32 and
+    rows 16.. are ImageNet-mean padding (which normalizes to zero)."""
+    image = np.full((40, 80, 3), 200, np.uint8)
+    canvas, (ch, cw) = T.letterbox_image(image, 32)
+    assert canvas.shape == (32, 32, 3) and (ch, cw) == (16, 32)
+    assert (canvas[:16] == 200).all()
+    mean_px = np.round(T.IMAGENET_MEAN * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(canvas[16:], np.broadcast_to(mean_px, (16, 32, 3)))
+    norm = T.normalize({"image": canvas, "label": np.zeros((32, 32), np.uint8)})
+    assert np.abs(norm["image"][16:]).max() < 0.02  # padding ~ 0 after normalize
+
+
+def test_letterbox_roundtrip_halves():
+    """A left/right half-split label survives letterbox -> predict-like
+    identity -> unletterbox with the split in the right place (a squash
+    or a mis-anchored crop moves it)."""
+    image = np.zeros((20, 40, 3), np.uint8)
+    image[:, 20:] = 255
+    canvas, content = T.letterbox_image(image, 16)
+    # identity "prediction": 1 where the canvas is bright
+    pred = (canvas[..., 0] > 127).astype(np.uint8)
+    out = T.unletterbox_pred(pred, content, (20, 40))
+    assert out.shape == (20, 40)
+    assert (out[:, :20] == 0).all() and (out[:, 20:] == 1).all()
+
+
+def test_letterbox_square_equals_plain_resize():
+    """Square inputs must behave exactly as before (no padding)."""
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    canvas, content = T.letterbox_image(image, 24)
+    assert content == (24, 24)
+    plain = T.fixed_resize(
+        {"image": image, "label": np.zeros((48, 48), np.uint8)}, 24
+    )["image"]
+    np.testing.assert_array_equal(canvas, plain)
+
+
 def test_hflip(sample):
     rng = np.random.default_rng(0)
     flipped = None

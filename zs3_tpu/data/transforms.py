@@ -131,6 +131,43 @@ def fixed_resize(sample: Sample, size: int = 513) -> Sample:
     return _from_pil(img, lbl)
 
 
+def letterbox_image(image: np.ndarray, size: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Aspect-preserving resize onto a (size, size) canvas.
+
+    Scales the LONG side to `size` (so nothing is cropped, unlike
+    fix_scale_crop) and pads the short side — top-left anchored — with
+    ImageNet-mean pixels, which normalize to exactly zero.  Returns
+    (uint8 canvas, (content_h, content_w)); crop the prediction to the
+    content extent and resize back to undo (see unletterbox_pred).
+    """
+    h, w = image.shape[:2]
+    scale = size / float(max(h, w))
+    ch = max(1, min(size, int(round(h * scale))))
+    cw = max(1, min(size, int(round(w * scale))))
+    resized = np.asarray(
+        Image.fromarray(image.astype(np.uint8)).resize((cw, ch), Image.BILINEAR),
+        dtype=np.uint8,
+    )
+    canvas = np.empty((size, size, 3), np.uint8)
+    canvas[:] = np.round(IMAGENET_MEAN * 255.0).astype(np.uint8)
+    canvas[:ch, :cw] = resized
+    return canvas, (ch, cw)
+
+
+def unletterbox_pred(
+    pred: np.ndarray, content_hw: Tuple[int, int], out_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Undo letterbox_image on a (size, size) label map: crop the valid
+    content region and NEAREST-resize to the native resolution."""
+    ch, cw = content_hw
+    h, w = out_hw
+    return np.asarray(
+        Image.fromarray(pred[:ch, :cw].astype(np.uint8), mode="L").resize(
+            (w, h), Image.NEAREST
+        )
+    ).astype(np.int32)
+
+
 def normalize(sample: Sample) -> Dict[str, np.ndarray]:
     """uint8 HWC -> float32 HWC normalized; label -> int32."""
     img = sample["image"].astype(np.float32) / 255.0

@@ -12,6 +12,13 @@ library:
        ?sliding=1          -> native-resolution sliding-window inference
        body: image file bytes (any PIL-readable format)
 
+Request geometry: non-square images are LETTERBOXED onto the model's
+fixed square input (aspect ratio preserved, ImageNet-mean padding that
+normalizes to zero) and predictions crop+resize back to native
+resolution — predictions keep the evaluate path's undistorted-geometry
+semantics instead of squashing the aspect ratio.  (`?sliding=1` skips
+the resize entirely and tiles at native resolution.)
+
 TPU shape: the Predictor's jit forward compiles ONCE at a fixed crop
 size during warmup; requests share it (fixed shapes, no per-request
 compilation).  The device is serialized behind a lock — JAX dispatch is
@@ -63,20 +70,16 @@ class ArtifactPredictor:
         self._call = load_exported(artifact_path)
 
     def predict_array(self, image: np.ndarray) -> np.ndarray:
+        """Same letterbox geometry as Predictor.predict_array: aspect
+        ratio preserved, ImageNet-mean padding (the artifact bakes in
+        normalization, so mean pixels normalize to zero inside it)."""
+        from zs3_tpu.data.transforms import letterbox_image, unletterbox_pred
+
         h, w = image.shape[:2]
-        resized = np.asarray(
-            Image.fromarray(image).resize(
-                (self.size, self.size), Image.BILINEAR
-            ),
-            dtype=np.uint8,
-        )
-        batch = np.broadcast_to(
-            resized, (self.batch, self.size, self.size, 3)
-        )
-        pred = np.asarray(self._call(batch))[0].astype(np.uint8)
-        return np.asarray(
-            Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
-        ).astype(np.int32)
+        canvas, content = letterbox_image(image, self.size)
+        batch = np.broadcast_to(canvas, (self.batch, self.size, self.size, 3))
+        pred = np.asarray(self._call(batch))[0]
+        return unletterbox_pred(pred, content, (h, w))
 
     def predict_sliding(self, image: np.ndarray) -> np.ndarray:
         raise ValueError(
@@ -155,6 +158,7 @@ class SegmentationService:
             "output_stride": self.cfg.model.output_stride,
             "warm": self.warm,
             "source": self.source,
+            "geometry": "letterbox",
         }
 
 

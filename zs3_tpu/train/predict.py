@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.data.transforms import fixed_resize, normalize
+from zs3_tpu.data.transforms import letterbox_image, normalize, unletterbox_pred
 from zs3_tpu.models.deeplab import build_deeplab
 from zs3_tpu.train.state import create_seg_state
 from zs3_tpu.utils.saver import Saver
@@ -55,46 +55,46 @@ class Predictor:
         )
 
     def predict_array(self, image: np.ndarray) -> np.ndarray:
-        """HWC uint8 image -> HW int32 label map at native resolution."""
+        """HWC uint8 image -> HW int32 label map at native resolution.
+
+        Geometry: aspect-preserving letterbox onto the fixed jit input
+        (ImageNet-mean padding normalizes to zero), prediction cropped
+        to the content region and resized back — no aspect squash, so
+        serving matches the evaluate path's undistorted semantics.
+        """
         h, w = image.shape[:2]
-        size = self.cfg.data.crop_size
-        resized = fixed_resize(
-            {"image": image, "label": np.zeros(image.shape[:2], np.uint8)}, size
+        canvas, content = letterbox_image(image, self.cfg.data.crop_size)
+        norm = normalize(
+            {"image": canvas, "label": np.zeros(canvas.shape[:2], np.uint8)}
         )
-        norm = normalize(resized)
         pred = np.asarray(
             self._predict(self.variables, jnp.asarray(norm["image"])[None])
-        )[0].astype(np.uint8)
-        return np.asarray(
-            Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
-        ).astype(np.int32)
+        )[0]
+        return unletterbox_pred(pred, content, (h, w))
 
     def predict_batch(self, images: "list[np.ndarray]") -> "list[np.ndarray]":
         """Batched inference: one device round trip for many images.
 
-        Images resize to the model's fixed input; predictions return at
-        each image's native resolution.
+        Images letterbox to the model's fixed input (aspect preserved);
+        predictions return at each image's native resolution.
         """
         size = self.cfg.data.crop_size
-        stacked = []
+        stacked, contents = [], []
         for image in images:
-            resized = fixed_resize(
-                {"image": image, "label": np.zeros(image.shape[:2], np.uint8)},
-                size,
+            canvas, content = letterbox_image(image, size)
+            contents.append(content)
+            stacked.append(
+                normalize(
+                    {"image": canvas, "label": np.zeros((size, size), np.uint8)}
+                )["image"]
             )
-            stacked.append(normalize(resized)["image"])
         preds = np.asarray(
             self._predict(self.variables, jnp.asarray(np.stack(stacked)))
-        ).astype(np.uint8)
-        out = []
-        for image, pred in zip(images, preds):
-            h, w = image.shape[:2]
-            out.append(
-                np.asarray(
-                    Image.fromarray(pred, mode="L").resize((w, h), Image.NEAREST)
-                ).astype(np.int32)
-            )
-        return out
+        )
+        return [
+            unletterbox_pred(pred, content, image.shape[:2])
+            for image, content, pred in zip(images, contents, preds)
+        ]
 
     def predict_sliding(
         self,

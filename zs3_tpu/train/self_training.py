@@ -43,7 +43,7 @@ import numpy as np
 from PIL import Image
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.data.transforms import fixed_resize, normalize
+from zs3_tpu.data.transforms import letterbox_image, normalize, unletterbox_pred
 from zs3_tpu.train.gmmn import GMMNTrainer, splice_classifier
 
 
@@ -131,11 +131,12 @@ def generate_pseudo_labels(
         # (a seen class or ignore).  The unlabeled complement is part of
         # the annotation itself; the unseen values under it are not.
         labeled = ~np.isin(gt, unseen)
-        # Model input: fixed resize (one jit compilation for all images).
-        resized = fixed_resize(
-            {"image": sample["image"], "label": gt}, size
+        # Model input: aspect-preserving letterbox onto the fixed square
+        # (one jit compilation for all images; padding normalizes to 0).
+        canvas, content = letterbox_image(sample["image"], size)
+        norm = normalize(
+            {"image": canvas, "label": np.zeros((size, size), np.uint8)}
         )
-        norm = normalize(resized)
         # Restrict the prediction to seen classes + this image's tags.
         allowed = np.ones((num_classes,), np.float32)
         allowed[unseen] = 0.0
@@ -145,15 +146,14 @@ def generate_pseudo_labels(
             jnp.asarray(norm["image"])[None],
             jnp.asarray(allowed),
         )
-        pred_np = np.asarray(pred[0], dtype=np.uint8)
-        # Back to native resolution (nearest).
-        pred_img = Image.fromarray(pred_np, mode="L").resize(
-            (gt.shape[1], gt.shape[0]), Image.NEAREST
-        )
-        pred_full = np.asarray(pred_img).astype(np.int64)
+        ch, cw = content
+        # Back to native resolution (crop content region, nearest).
+        pred_full = unletterbox_pred(
+            np.asarray(pred[0]), content, gt.shape[:2]
+        ).astype(np.int64)
         if conf is not None:
             conf_img = Image.fromarray(
-                np.asarray(conf[0], dtype=np.float32), mode="F"
+                np.asarray(conf[0], dtype=np.float32)[:ch, :cw], mode="F"
             ).resize((gt.shape[1], gt.shape[0]), Image.NEAREST)
             low = np.asarray(conf_img) < confidence
             pred_full = np.where(low, ignore_index, pred_full)
