@@ -167,6 +167,7 @@ def main(argv=None):
         "train-seen", "train-gmmn", "train-zs5",
         "evaluate", "evaluate-gmmn", "infer", "convert-weights",
         "show-config", "profile", "serve", "export", "prepare-context",
+        "build-embeddings",
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -194,6 +195,22 @@ def main(argv=None):
             p.add_argument("json", help="detail-API trainval_merged.json")
             p.add_argument("--overwrite", action="store_true",
                            help="regenerate label PNGs that already exist")
+        elif name == "build-embeddings":
+            p.add_argument("vectors", nargs="+",
+                           help="word-vector file(s): word2vec .bin, "
+                                "word2vec/fasttext/GloVe text, or existing "
+                                ".npy/.npz/.pkl registries; multiple files "
+                                "concatenate feature-wise (fastnvec)")
+            p.add_argument("--output", type=str, required=True,
+                           help="registry .npy to write (rows ordered by "
+                                "the dataset's class list; pass via "
+                                "--embedding-path to the trainers)")
+            p.add_argument("--no-normalize", action="store_true",
+                           help="keep raw vector norms (default: unit rows)")
+            p.add_argument("--alias", action="append", default=[],
+                           metavar="NAME=TOKENS",
+                           help="extra class-name alias, e.g. "
+                                "'tvmonitor=television'; repeatable")
         elif name == "export":
             p.add_argument("--output", type=str, required=True,
                            help="StableHLO artifact path (+ .json manifest)")
@@ -366,6 +383,28 @@ def main(argv=None):
 
         result = prepare_context(
             args.json, cfg.data.root, overwrite=args.overwrite
+        )
+    elif args.command == "build-embeddings":
+        from zs3_tpu.data.classes import CONTEXT_CLASSES, VOC_CLASSES
+        from zs3_tpu.data.embedding_build import build_embedding_registry
+
+        names = (
+            CONTEXT_CLASSES if cfg.data.dataset == "context" else VOC_CLASSES
+        )
+        aliases = {}
+        for spec in args.alias:
+            key, _, val = spec.partition("=")
+            if not val:
+                raise SystemExit(
+                    f"--alias expects NAME=TOKENS, got {spec!r}"
+                )
+            aliases[key.lower()] = val
+        result = build_embedding_registry(
+            names,
+            args.vectors,
+            args.output,
+            normalize=not args.no_normalize,
+            aliases=aliases,
         )
     elif args.command == "export":
         from zs3_tpu.export import export_predictor, save_exported
