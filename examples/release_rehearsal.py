@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Full-scale release rehearsal: the REAL deployment configuration,
+end-to-end, through the CLI surface, on a fabricated VOC(+SBD) tree.
+
+Every other end-to-end proof in the repo runs synthetic data at small
+shapes; this rehearsal runs the actual paper configuration (SURVEY.md
+§3.1-3.4, BASELINE configs 1-4) so config/shape drift in the
+real-data path cannot hide:
+
+  21-class VOC2012 + SBD trees (fabricated, real size variety)
+  torchvision-shaped ResNet .pth  -> convert-weights
+  word2vec-style embedding .npy   -> --embedding-path
+  train-seen   (unseen filter, SBD union, poly LR, --ft init)
+  train-gmmn   (--unseen-split 2, fused GMMN step, harmonic-best ckpt)
+  train-zs5    (pseudo-labeling + weak-label retrain)
+  evaluate-gmmn --eval-scales ... --eval-flip   (TTA path)
+  export --resume ... --gmmn-resume ...         (zero-shot artifact)
+  serve        (HTTP server, letterbox geometry, non-square request)
+
+Run on one TPU chip at full 513² (default) or on CPU at a reduced crop:
+
+  python examples/release_rehearsal.py --workdir /tmp/rehearsal
+  python examples/release_rehearsal.py --crop-size 129 --batch-size 2
+
+Prints one JSON summary line; exit 0 = every stage green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def run_cli(argv):
+    from zs3_tpu.cli import main
+
+    rc = main(argv)
+    if rc != 0:
+        raise RuntimeError(f"cli {argv[0]} failed with rc={rc}")
+
+
+def best_or_latest(run_dir: str, dataset: str, checkname: str) -> str:
+    from zs3_tpu.utils.saver import Saver
+
+    exp = Saver.latest_experiment(run_dir, dataset, checkname)
+    if exp is None:
+        raise RuntimeError(f"no experiment under {run_dir}/{dataset}/{checkname}")
+    ckpt = Saver.best_checkpoint(exp) or Saver.latest_checkpoint(exp)
+    if ckpt is None:
+        raise RuntimeError(f"no checkpoint in {exp}")
+    return ckpt
+
+
+def rehearse(
+    workdir: str,
+    crop_size: int = 513,
+    batch_size: int = 4,
+    steps: int = 2,
+    backbone: str = "resnet101",
+    eval_scales: str = "0.75,1.0",
+    compute_dtype: str | None = None,
+) -> dict:
+    from zs3_tpu.data.classes import VOC_CLASSES
+    from zs3_tpu.data.fabricate import (
+        fabricate_embedding_npy,
+        fabricate_sbd_tree,
+        fabricate_torchvision_resnet_pth,
+        fabricate_voc_tree,
+    )
+
+    import jax
+
+    if compute_dtype is None:
+        compute_dtype = (
+            "float32" if jax.default_backend() == "cpu" else "bfloat16"
+        )
+    os.makedirs(workdir, exist_ok=True)
+    data_root = os.path.join(workdir, "data")
+    run_dir = os.path.join(workdir, "run")
+    timings: dict = {}
+    t_all = time.time()
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                print(f"[rehearsal] {name} ...", file=sys.stderr, flush=True)
+
+            def __exit__(self, *exc):
+                if exc[0] is None:
+                    timings[name] = round(time.time() - self.t0, 1)
+
+        return _T()
+
+    with stage("fabricate"):
+        voc_stats = fabricate_voc_tree(data_root, n_train=12, n_val=4)
+        fabricate_sbd_tree(data_root, n=8)
+        pth = fabricate_torchvision_resnet_pth(
+            os.path.join(workdir, "resnet.pth"),
+            depth={"resnet101": 101, "resnet50": 50}[backbone],
+        )
+        emb = fabricate_embedding_npy(
+            os.path.join(workdir, "w2v_voc.npy"), VOC_CLASSES, dim=300
+        )
+
+    common = [
+        "--dataset", "pascal", "--data-root", data_root, "--use-sbd",
+        "--backbone", backbone, "--out-stride", "16",
+        "--crop-size", str(crop_size), "--base-size", str(crop_size),
+        "--batch-size", str(batch_size), "--unseen-split", "2",
+        "--embedding-path", emb, "--compute-dtype", compute_dtype,
+        "--checkpoint-dir", run_dir, "--checkname", "rehearsal",
+        "--epochs", "1", "--steps-per-epoch", str(steps), "--seed", "0",
+    ]
+
+    with stage("convert-weights"):
+        conv_ckpt = os.path.join(workdir, "pretrained_ckpt")
+        run_cli(["convert-weights", pth, "--output", conv_ckpt, "--force"]
+                + common)
+
+    with stage("train-seen"):
+        run_cli(["train-seen", "--resume", conv_ckpt, "--ft"] + common)
+        seen_ckpt = best_or_latest(run_dir, "pascal", "rehearsal")
+
+    with stage("train-gmmn"):
+        run_cli(["train-gmmn", "--resume", seen_ckpt] + common)
+        gmmn_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-gmmn")
+
+    with stage("train-zs5"):
+        run_cli(["train-zs5", "--resume", seen_ckpt,
+                 "--gmmn-resume", gmmn_ckpt] + common)
+        zs5_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-zs5")
+
+    with stage("evaluate-gmmn+tta"):
+        run_cli(["evaluate-gmmn", "--resume", seen_ckpt,
+                 "--gmmn-resume", zs5_ckpt,
+                 "--eval-scales", eval_scales, "--eval-flip"] + common)
+
+    with stage("export"):
+        artifact = os.path.join(workdir, "zs3_model.shlo")
+        run_cli(["export", "--output", artifact, "--resume", seen_ckpt,
+                 "--gmmn-resume", gmmn_ckpt] + common)
+        with open(artifact + ".json") as f:
+            manifest = json.load(f)
+        assert manifest["zero_shot_classifier"] is True
+
+    with stage("serve"):
+        # Serve the final checkpoint over HTTP and segment a non-square
+        # image (exercises the letterbox geometry end-to-end).
+        from zs3_tpu.cli import build_config
+        from zs3_tpu.serve import InferenceServer
+
+        parser = argparse.ArgumentParser()
+        from zs3_tpu.cli import _add_common
+
+        _add_common(parser)
+        cfg = build_config(parser.parse_args(
+            common + ["--resume", seen_ckpt, "--gmmn-resume", gmmn_ckpt]
+        ))
+        srv = InferenceServer(cfg, port=0).start(warmup=True)
+        try:
+            img = Image.fromarray(
+                np.random.default_rng(0).integers(
+                    0, 255, (375, 500, 3)
+                ).astype(np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=600)
+            conn.request("POST", "/predict", body=buf.getvalue())
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.status
+            pred = np.asarray(Image.open(io.BytesIO(resp.read())))
+            assert pred.shape == (375, 500), pred.shape
+            assert pred.max() < 21
+        finally:
+            srv.stop()
+
+    summary = {
+        "ok": True,
+        "backbone": backbone,
+        "crop_size": crop_size,
+        "batch_size": batch_size,
+        "backend": __import__("jax").default_backend(),
+        "voc": voc_stats,
+        "artifact_platforms": manifest["platforms"],
+        "stage_seconds": timings,
+        "total_seconds": round(time.time() - t_all, 1),
+    }
+    return summary
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--workdir", default="/tmp/zs3_rehearsal")
+    p.add_argument("--crop-size", type=int, default=513)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--backbone", default="resnet101",
+                   choices=["resnet101", "resnet50"])
+    p.add_argument("--eval-scales", default="0.75,1.0")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"])
+    args = p.parse_args(argv)
+    summary = rehearse(
+        args.workdir,
+        crop_size=args.crop_size,
+        batch_size=args.batch_size,
+        steps=args.steps,
+        backbone=args.backbone,
+        eval_scales=args.eval_scales,
+        compute_dtype=args.compute_dtype,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
