@@ -4,25 +4,35 @@ Must run before any jax import — pytest loads conftest first, so setting
 the env here covers every test module.  Multi-chip sharding tests use
 the 8-device mesh; real-TPU behavior is exercised by bench.py and the
 driver's dryrun, not the unit suite.
+
+TPU tier: `ZS3_TEST_PLATFORM=tpu pytest tests/test_zero_shot_acceptance.py`
+leaves JAX on the real chip so the platform-tiered acceptance bars
+(recorded TPU transfer curves, stricter than the CPU-variance bars) are
+asserted on hardware.  Intended for the acceptance/e2e tests; tests that
+require the 8-device mesh skip (mesh8) or fail on a single chip.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TEST_PLATFORM = os.environ.get("ZS3_TEST_PLATFORM", "cpu")
+if _TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# The axon sitecustomize pins JAX_PLATFORMS=axon from within python startup,
-# so the env var alone is not enough — override via jax.config as well.
-jax.config.update("jax_platforms", "cpu")
+if _TEST_PLATFORM == "cpu":
+    # The axon sitecustomize pins JAX_PLATFORMS=axon from within python
+    # startup, so the env var alone is not enough — override via
+    # jax.config as well.
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles the same small models
 # across many tests/processes; caching cuts wall time dramatically.
@@ -37,14 +47,17 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+if _TEST_PLATFORM == "cpu":
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")
 def mesh8():
     from zs3_tpu.core.mesh import make_mesh
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run on the CPU tier)")
     return make_mesh((("data", 8),))
 
 

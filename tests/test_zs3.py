@@ -114,6 +114,7 @@ def test_gmmn_trainer_end_to_end(zs3_cfg):
     assert int(jax.device_get(t.cls_state.step)) == 2
 
 
+@pytest.mark.slow
 def test_gmmn_training_moves_generator_toward_real(zs3_cfg):
     """MMD should decrease over a few epochs of generator training."""
     import dataclasses
@@ -162,6 +163,40 @@ def test_generic_context_fallback():
     np.testing.assert_array_equal(np.asarray(nbm2[2]), [1.0, 1.0])
 
 
+def test_graph_generator_uses_context():
+    """Structural conditioning guard (fast; backs the acceptance-level
+    ordering test): the graph generator's output must actually depend on
+    the neighbor context it is conditioned on.  A regression that
+    nullifies conditioning (zeroed gather, dropped mask, dead context
+    branch) makes these outputs identical and fails here without
+    training anything."""
+    from zs3_tpu.models.gmmn import GraphContextGMMN
+
+    gen = GraphContextGMMN(
+        noise_dim=8, embed_dim=8, hidden_dim=32, feature_dim=16,
+        context_dim=16,
+    )
+    emb = jnp.ones((2, 8))
+    noise = jnp.zeros((2, 8))
+    k = 4
+    rng = np.random.default_rng(0)
+    nb_a = jnp.asarray(rng.standard_normal((2, k, 8)), jnp.float32)
+    nb_b = jnp.asarray(rng.standard_normal((2, k, 8)), jnp.float32)
+    mask = jnp.ones((2, k))
+    variables = gen.init(jax.random.key(0), emb, noise, nb_a, mask)
+    out_a = gen.apply(variables, emb, noise, nb_a, mask)
+    out_b = gen.apply(variables, emb, noise, nb_b, mask)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b)), (
+        "neighbor embeddings do not influence generation"
+    )
+    # the neighbor mask must gate the context too
+    out_masked = gen.apply(variables, emb, noise, nb_a, jnp.zeros((2, k)))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_masked)), (
+        "neighbor mask does not gate the context"
+    )
+
+
+@pytest.mark.slow
 def test_graph_context_trainer_smoke(zs3_cfg):
     import dataclasses
 
@@ -192,6 +227,7 @@ def test_gmmn_trainer_pallas_backend(zs3_cfg):
     assert np.isfinite(stats["cls_ce"])
 
 
+@pytest.mark.slow
 def test_gmmn_resume_roundtrip(zs3_cfg):
     """GMMN checkpoints resume generator+classifier states exactly."""
     import dataclasses
