@@ -44,6 +44,7 @@ def _parity_case(tmodel, fmodel, x, atol_low, atol_high, backbone):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("output_stride", [16, 8])
 def test_mobilenet_parity(output_stride, rng):
     from tests.torch_oracle_backbones import TorchMobileNetV2

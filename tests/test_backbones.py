@@ -14,9 +14,12 @@ from zs3_tpu.models.xception import AlignedXception
 @pytest.mark.parametrize(
     "module,kw,high_ch,low_ch,low_os",
     [
-        (AlignedXception, {"output_stride": 16}, 2048, 128, 4),
+        # heavy non-resnet compiles move to the slow tier; mobilenet
+        # stays as the quick-tier non-resnet representative
+        pytest.param(AlignedXception, {"output_stride": 16}, 2048, 128, 4,
+                     marks=pytest.mark.slow),
         (MobileNetV2Backbone, {"output_stride": 16}, 320, 24, 4),
-        (DRN54, {}, 512, 256, 4),
+        pytest.param(DRN54, {}, 512, 256, 4, marks=pytest.mark.slow),
     ],
 )
 def test_backbone_shapes(module, kw, high_ch, low_ch, low_os):
@@ -39,7 +42,11 @@ def test_xception_os8_spatial():
     assert high.shape[1] == 9  # os8 on 65
 
 
-@pytest.mark.parametrize("backbone", ["xception", "mobilenet", "drn"])
+@pytest.mark.parametrize("backbone", [
+    pytest.param("xception", marks=pytest.mark.slow),
+    "mobilenet",
+    pytest.param("drn", marks=pytest.mark.slow),
+])
 def test_deeplab_assembly(backbone):
     m = DeepLab(backbone=backbone, num_classes=5, dropout=False)
     x = jnp.ones((1, 65, 65, 3))

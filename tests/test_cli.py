@@ -89,6 +89,7 @@ def test_infer_command(tmp_path, capsys):
     assert (out / "scene_color.png").exists()
 
 
+@pytest.mark.slow
 def test_convert_weights_command(tmp_path, capsys):
     import sys
 

@@ -65,6 +65,7 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     assert m["num_classes"] == 4 and "cpu" in m["platforms"]
 
 
+@pytest.mark.slow
 def test_export_logits_emit(tmp_path):
     cfg = _cfg(tmp_path)
     blob, manifest = export_predictor(cfg, batch_size=1, emit="logits", allow_random=True)
@@ -121,6 +122,7 @@ def _save_gmmn_checkpoint(path, kernel, bias):
     ckpt.wait_until_finished()
 
 
+@pytest.mark.slow
 def test_export_splices_gmmn_classifier(tmp_path):
     """The zero-shot deliverable: export --resume <seen> --gmmn-resume
     <gmmn ckpt> must serve the retrained classifier, exactly as
@@ -145,6 +147,7 @@ def test_export_splices_gmmn_classifier(tmp_path):
     np.testing.assert_array_equal(out, 2)
 
 
+@pytest.mark.slow
 def test_export_rejects_gmmn_checkpoint_as_trunk(tmp_path):
     """Pointing --resume at a gen/cls payload must fail with directions,
     not an orbax structure-mismatch traceback."""
@@ -157,6 +160,7 @@ def test_export_rejects_gmmn_checkpoint_as_trunk(tmp_path):
         export_predictor(cfg, checkpoint=gmmn)
 
 
+@pytest.mark.slow
 def test_export_rejects_trunk_checkpoint_as_gmmn(tmp_path):
     """And the converse: --gmmn-resume at a seen-stage checkpoint."""
     cfg = _cfg(tmp_path)
@@ -166,6 +170,7 @@ def test_export_rejects_trunk_checkpoint_as_gmmn(tmp_path):
         export_predictor(cfg, checkpoint=seen, gmmn_checkpoint=seen)
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path, capsys):
     from zs3_tpu.cli import main
 

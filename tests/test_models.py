@@ -51,6 +51,7 @@ def test_jit_matches_eager(small_model):
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_output_stride_8():
     m = DeepLab(backbone="resnet50", output_stride=8, num_classes=3, dropout=False)
     x = jnp.zeros((1, 33, 33, 3))

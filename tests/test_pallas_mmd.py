@@ -52,6 +52,7 @@ def test_pallas_mmd_matches_oracle(rng):
     assert np.isclose(ours, ref, rtol=1e-4), (ours, ref)
 
 
+@pytest.mark.slow
 def test_pallas_mmd_grads_match_oracle(rng):
     fake = rng.standard_normal((40, 32)).astype(np.float32)
     real = rng.standard_normal((60, 32)).astype(np.float32) + 0.5
@@ -70,6 +71,7 @@ def test_pallas_mmd_grads_match_oracle(rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_mmd_grad_wrt_real(rng):
     fake = rng.standard_normal((32, 16)).astype(np.float32)
     real = rng.standard_normal((32, 16)).astype(np.float32)

@@ -63,6 +63,7 @@ def test_predict_roundtrip(server, rng):
     assert color.shape == (40, 50, 3)
 
 
+@pytest.mark.slow
 def test_serve_exported_artifact(tmp_path, rng):
     """The server runs from an exported StableHLO artifact alone — no
     checkpoint, no model rebuild — and reports its self-described shape."""

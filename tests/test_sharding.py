@@ -46,6 +46,7 @@ def _tiny_state_and_batch(mesh, batch=8):
     return state, {"image": images, "label": labels}
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(mesh8):
     state, batch = _tiny_state_and_batch(mesh8)
     state = replicate(state, mesh8)

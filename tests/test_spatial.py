@@ -20,6 +20,7 @@ def model_and_vars():
     return m, m.init(jax.random.key(0), x)
 
 
+@pytest.mark.slow
 def test_space_only_mesh_matches_single_device(model_and_vars):
     m, variables = model_and_vars
     mesh = make_mesh((("space", 8),))
@@ -34,6 +35,7 @@ def test_space_only_mesh_matches_single_device(model_and_vars):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_data_by_space_mesh(model_and_vars):
     """2-way data x 4-way spatial hybrid — the dp+sp layout."""
     m, variables = model_and_vars

@@ -84,6 +84,7 @@ def test_trainer_tta_validate(tmp_path):
     assert 0.0 <= report["miou"] <= 1.0
 
 
+@pytest.mark.slow
 def test_predict_sliding(tmp_path, rng):
     """Sliding-window inference covers odd sizes, small images, and
     agrees with the direct forward on an exactly-crop-sized image."""
