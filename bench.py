@@ -29,6 +29,77 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the 513² R101 programs take minutes to
+# compile through the relay's remote_compile; caching them keeps the
+# whole bench (probe + 3 batch sizes) inside the driver's time budget.
+# Timed regions never include compilation (the warmup call does it).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Fallback sustained ceiling (judge-reproduced 181.7 TF/s on this chip;
+# see DESIGN.md §4-5) used only when the probe below fails.
+FALLBACK_SUSTAINED_TFS = 184.0
+
+# Chained bf16 8192³ matmuls — the same probe the round-2 judge used to
+# confirm the ceiling.  Each timed call takes a distinct shift (relay
+# result-cache) and the chain rescales by ~1/sqrt(n) per step so bf16
+# never overflows.  Runs in a SUBPROCESS: timing two jitted fns in one
+# process through the axon relay thrashes the executable cache and
+# corrupts both measurements (DESIGN.md §5).
+_PROBE_SRC = r"""
+import time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+dev = jax.devices()[0]
+n, depth, iters = 8192, 16, 4
+a = jax.device_put(
+    jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16), dev)
+
+@jax.jit
+def chain(x, shift):
+    x = x + shift
+    for _ in range(depth):
+        x = (x @ a) * jnp.bfloat16(1.0 / 91.0)
+    return jnp.sum(x.astype(jnp.float32))
+
+float(chain(a, 0.0))  # compile + warm (must pass every argument)
+t0 = time.perf_counter()
+res = [chain(a, 1e-3 * (i + 1)) for i in range(iters)]
+float(res[-1])
+dt = time.perf_counter() - t0
+print(2.0 * n**3 * depth * iters / dt / 1e12)
+"""
+
+
+def measure_sustained_ceiling() -> tuple:
+    """(sustained TF/s, source) — measured by the subprocess probe, or
+    the recorded fallback constant if the probe fails.  Keeps
+    mfu_vs_sustained_ceiling honest across a chip/relay change instead
+    of silently mis-scaling against another machine's constant."""
+    import subprocess
+
+    try:
+        src = _PROBE_SRC.format(
+            cache_dir=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".jax_compile_cache",
+            )
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", src],
+            capture_output=True, text=True, timeout=300,
+        )
+        tfs = float(out.stdout.strip().splitlines()[-1])
+        if tfs > 10.0:  # plausible for any TPU generation
+            return tfs, "measured"
+    except Exception:
+        pass
+    return FALLBACK_SUSTAINED_TFS, "fallback"
+
 
 def main():
     from zs3_tpu.models.deeplab import DeepLab
@@ -42,9 +113,23 @@ def main():
     )
     size = 513
     dev = jax.devices()[0]
-    rng = jax.random.key(0)
+    t_start = time.perf_counter()
+    # Soft deadline so a slow remote-compile day degrades the sweep
+    # instead of producing NO output (the driver runs this under a hard
+    # timeout): batches/probe are skipped once exceeded.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+    # Zero-weight init via eval_shape: weight VALUES are irrelevant to
+    # throughput (the MXU runs zeros at full rate, outputs stay finite)
+    # and the jitted random init is a huge threefry graph that measured
+    # ~190 s to remote-compile through the relay — the single largest
+    # cost of the whole bench.
     init_x = jnp.zeros((1, size, size, 3), jnp.float32)
-    variables = jax.jit(lambda: model.init(rng, init_x))()
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), init_x)
+    )
+    variables = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
     variables = jax.device_put(variables, dev)
 
     @jax.jit
@@ -55,11 +140,20 @@ def main():
         return jnp.sum(logits.astype(jnp.float32))
 
     best = 0.0
-    best_flops = float("nan")
+    best_x = None
+    best_batch = 0
     on_tpu = dev.platform != "cpu"
-    batches = [32, 64, 128] if on_tpu else [1]
+    # Best-known batch FIRST (B128 is the measured sweet spot): remote
+    # compile time through the relay is weather-dependent (12 s to
+    # minutes for the same program), so on a slow day the deadline cuts
+    # the EXTRA batches, never the headline configuration.
+    batches = [128, 64, 32] if on_tpu else [1]
     n_iters = 10 if on_tpu else 2
     for batch in batches:
+        # reserve ~90 s of the budget for the ceiling probe: an extra
+        # batch point is worth less than a measured denominator
+        if best and time.perf_counter() - t_start > deadline - 90:
+            break  # keep what we have; printing a result beats a timeout
         x = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, size, size, 3), jnp.float32),
             dev,
@@ -78,16 +172,21 @@ def main():
         assert all(jnp.isfinite(float(r)) for r in results)
         ips = batch * n_iters / dt
         if ips > best:
-            best = ips
-            try:
-                best_flops = (
-                    forward.lower(variables, x, 0.0)
-                    .compile()
-                    .cost_analysis()["flops"]
-                    / batch
-                )
-            except Exception:
-                best_flops = float("nan")
+            best, best_x, best_batch = ips, x, batch
+    # One cost_analysis for the winning batch only — lower().compile()
+    # does not share the jit executable cache, so doing this inside the
+    # sweep paid up to two extra remote compiles.
+    best_flops = float("nan")
+    if best_x is not None:
+        try:
+            best_flops = (
+                forward.lower(variables, best_x, 0.0)
+                .compile()
+                .cost_analysis()["flops"]
+                / best_batch
+            )
+        except Exception:
+            pass
 
     # First honest measurement of this rebuild (v5e, B32, serial forcing)
     # — the fixed denominator so vs_baseline tracks optimization progress.
@@ -96,12 +195,16 @@ def main():
     DEFAULT_BASELINE = 365.254
     vs = best / DEFAULT_BASELINE
     # MFU against the v5e NOMINAL bf16 peak (394 TF/s).  Context (see
-    # DESIGN.md §4-5): the best *measured* sustained rate on this relay-
-    # attached chip is ~184 TF/s for a pure 8192^3 bf16 matmul chain, so
-    # nominal MFU understates how close the network is to the device's
-    # real envelope; mfu_sustained reports against that measured ceiling.
+    # DESIGN.md §4-5): nominal MFU understates how close the network is
+    # to the device's real envelope (the relay-attached chip sustains
+    # far less than nominal on even a pure matmul chain), so
+    # mfu_vs_sustained_ceiling reports against a ceiling this run
+    # MEASURES on this machine (subprocess probe; constant fallback).
     NOMINAL_TFS = 394.0
-    SUSTAINED_TFS = 184.0
+    if on_tpu and time.perf_counter() - t_start < deadline:
+        sustained_tfs, ceiling_source = measure_sustained_ceiling()
+    else:
+        sustained_tfs, ceiling_source = FALLBACK_SUSTAINED_TFS, "fallback"
     tfs = best * best_flops / 1e12 if best_flops == best_flops else float("nan")
     print(
         json.dumps(
@@ -113,8 +216,10 @@ def main():
                 "tflops_per_sec": round(tfs, 1) if tfs == tfs else None,
                 "mfu_nominal": round(tfs / NOMINAL_TFS, 4) if tfs == tfs else None,
                 "mfu_vs_sustained_ceiling": (
-                    round(tfs / SUSTAINED_TFS, 4) if tfs == tfs else None
+                    round(tfs / sustained_tfs, 4) if tfs == tfs else None
                 ),
+                "sustained_ceiling_tfs": round(sustained_tfs, 1),
+                "ceiling_source": ceiling_source,
             }
         )
     )

@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache (see bench.py): warmup compiles, timed
+# regions never do.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _timed(dispatch, force, iters=8):
     force(dispatch(0))
@@ -82,6 +90,35 @@ def main():
 
     dt = _timed(d_train, lambda r: float(r))
     results["train_images_per_sec"] = bt / dt
+    # Train-step MFU (VERDICT r2 #5): XLA-counted step FLOPs over the
+    # measured wall time, against the same sustained ceiling bench.py
+    # measures (pass --probe-ceiling to re-measure it here; default uses
+    # the recorded constant so this secondary bench stays fast).
+    try:
+        step_flops = (
+            train_step.lower(
+                holder["state"], {"image": img, "label": lbl}, jax.random.key(3)
+            )
+            .compile()
+            .cost_analysis()["flops"]
+        )
+    except Exception:
+        step_flops = float("nan")
+    if step_flops == step_flops:
+        import bench as _bench
+
+        if "--probe-ceiling" in sys.argv and on_tpu:
+            sustained, source = _bench.measure_sustained_ceiling()
+        else:
+            sustained, source = _bench.FALLBACK_SUSTAINED_TFS, "fallback"
+        tfs = step_flops / dt / 1e12
+        results_extra = {
+            "train_step_tflops_per_sec": round(tfs, 1),
+            "train_step_mfu_vs_sustained_ceiling": round(tfs / sustained, 4),
+            "ceiling_source": source,
+        }
+    else:
+        results_extra = {}
 
     # --- eval step (fused pallas upsample+argmax + on-device confusion)
     eval_step = make_eval_step(21)
@@ -130,15 +167,14 @@ def main():
     results["zs3_step_images_per_sec"] = bt / dt
 
     for name, value in results.items():
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_{backbone}_{size}",
-                    "value": round(value, 2),
-                    "unit": "images/sec",
-                }
-            )
-        )
+        line = {
+            "metric": f"{name}_{backbone}_{size}",
+            "value": round(value, 2),
+            "unit": "images/sec",
+        }
+        if name == "train_images_per_sec":
+            line.update(results_extra)
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":
