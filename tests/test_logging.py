@@ -65,3 +65,47 @@ def test_force_returns_scalar():
     import jax.numpy as jnp
 
     assert force({"a": jnp.asarray([3.0, 4.0])}) == 3.0
+
+
+def test_summarize_trace_fabricated(tmp_path):
+    """summarize_trace aggregates device-lane events by hlo_category
+    with per-step division, skipping program spans and host lanes."""
+    import gzip
+    import json
+
+    from zs3_tpu.utils.profiling import summarize_trace
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        # program span must be skipped (would double-count)
+        {"ph": "X", "pid": 1, "name": "jit_train_step(123)", "dur": 99999,
+         "args": {"hlo_category": "?"}},
+        {"ph": "X", "pid": 1, "name": "convolution.1", "dur": 4000,
+         "args": {"hlo_category": "convolution fusion",
+                  "model_flops": "2000000000", "raw_bytes_accessed": "1000"}},
+        {"ph": "X", "pid": 1, "name": "fusion.2", "dur": 2000,
+         "args": {"hlo_category": "convolution fusion",
+                  "model_flops": "1000000000", "raw_bytes_accessed": "500"}},
+        {"ph": "X", "pid": 1, "name": "loop.3", "dur": 1000,
+         "args": {"hlo_category": "loop fusion"}},
+        # host-lane event must be ignored
+        {"ph": "X", "pid": 2, "name": "dispatch", "dur": 777,
+         "args": {"hlo_category": "loop fusion"}},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    out = summarize_trace(str(tmp_path), steps=2)
+    assert list(out) == ["convolution fusion", "loop fusion"]
+    conv = out["convolution fusion"]
+    assert conv["ms"] == 3.0          # (4000+2000)us / 2 steps
+    assert conv["gflops"] == 1.5      # 3e9 / 2
+    assert conv["ops"] == 1.0         # 2 ops / 2 steps
+    assert out["loop fusion"]["ms"] == 0.5
+    # absent / empty logdir -> {}
+    assert summarize_trace(str(tmp_path / "nope")) == {}

@@ -339,6 +339,14 @@ def main(argv=None):
             "images_per_sec": round(bsz * timer.steps_per_sec(), 2),
             "trace_dir": args.trace_dir,
         }
+        if args.trace_dir:
+            from zs3_tpu.utils.profiling import summarize_trace
+
+            # per-op device attribution by hlo_category (the raw
+            # xplane/Perfetto artifacts stay in trace_dir for deep dives)
+            result["device_attribution_per_step"] = summarize_trace(
+                args.trace_dir, steps=max(args.steps, 2)
+            )
     elif args.command == "convert-weights":
         import jax
 
