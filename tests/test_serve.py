@@ -101,6 +101,73 @@ def test_serve_exported_artifact(tmp_path, rng):
         srv.stop()
 
 
+def test_micro_batched_serving(tmp_path, rng):
+    """--serve-batch aggregates concurrent requests onto one batched jit
+    forward: all responses correct, and at least one device call served
+    multiple requests."""
+    import concurrent.futures
+
+    from zs3_tpu.serve import InferenceServer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=5, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(dataset="synthetic", crop_size=33, base_size=33),
+    )
+    srv = InferenceServer(cfg, port=0, serve_batch=4).start(warmup=True)
+    try:
+        bodies = []
+        for i in range(8):
+            img = Image.fromarray(
+                rng.integers(0, 255, (30 + i, 40, 3), dtype=np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            bodies.append((i, buf.getvalue()))
+
+        def post(item):
+            i, body = item
+            c = _conn(srv)
+            c.request("POST", "/predict", body=body)
+            r = c.getresponse()
+            assert r.status == 200
+            return i, np.asarray(Image.open(io.BytesIO(r.read())))
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(post, bodies))
+        for i, pred in results:
+            assert pred.shape == (30 + i, 40)
+            assert pred.max() < 5
+        sizes = srv.service.batcher.batch_sizes
+        assert sum(sizes) == 9  # 8 requests + 1 warmup
+        assert max(sizes) > 1, f"no request ever batched: {sizes}"
+        c = _conn(srv)
+        c.request("GET", "/info")
+        info = json.loads(c.getresponse().read())
+        assert info["serve_batch"] == 4
+    finally:
+        srv.stop()
+
+
+def test_serve_batch_rejects_artifact(tmp_path):
+    from zs3_tpu.export import export_predictor, save_exported
+    from zs3_tpu.serve import InferenceServer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=4, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(dataset="synthetic", crop_size=33, base_size=33),
+    )
+    path = str(tmp_path / "m.shlo")
+    save_exported(path, *export_predictor(cfg, batch_size=1, allow_random=True))
+    with pytest.raises(ValueError, match="serve-batch"):
+        InferenceServer(Config(), port=0, artifact=path, serve_batch=4)
+
+
 def test_predict_bad_body(server):
     c = _conn(server)
     c.request("POST", "/predict", body=b"not an image")

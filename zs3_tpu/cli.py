@@ -177,6 +177,10 @@ def main(argv=None):
             p.add_argument("--artifact", type=str, default=None,
                            help="serve an exported StableHLO artifact "
                                 "(cli export) instead of a checkpoint")
+            p.add_argument("--serve-batch", type=int, default=1,
+                           help="micro-batch up to N concurrent requests "
+                                "onto one jit forward (checkpoint serving "
+                                "only; ~Nx loaded throughput)")
         if name == "profile":
             p.add_argument("--steps", type=int, default=10,
                            help="train steps to time (first is warmup)")
@@ -298,7 +302,8 @@ def main(argv=None):
         from zs3_tpu.serve import InferenceServer
 
         server = InferenceServer(
-            cfg, host=args.host, port=args.port, artifact=args.artifact
+            cfg, host=args.host, port=args.port, artifact=args.artifact,
+            serve_batch=args.serve_batch,
         )
         print(
             json.dumps({"serving": f"http://{args.host}:{server.port}"}),

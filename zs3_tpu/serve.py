@@ -21,9 +21,13 @@ the resize entirely and tiles at native resolution.)
 
 TPU shape: the Predictor's jit forward compiles ONCE at a fixed crop
 size during warmup; requests share it (fixed shapes, no per-request
-compilation).  The device is serialized behind a lock — JAX dispatch is
-thread-safe but ordering keeps tail latencies predictable on one chip;
-scale-out is N processes behind any load balancer, one chip each.
+compilation).  With --serve-batch N > 1, concurrent requests are
+MICRO-BATCHED onto one fixed-shape batched forward (a lone request
+never waits — the worker drains whatever is queued, padding to the jit
+batch), raising loaded throughput up to ~N× since batch-N costs barely
+more than batch-1 on the MXU.  Otherwise the device is serialized
+behind a lock.  Scale-out is N processes behind any load balancer, one
+chip each.
 """
 
 from __future__ import annotations
@@ -89,16 +93,75 @@ class ArtifactPredictor:
         )
 
 
+class _MicroBatcher:
+    """Aggregate concurrent requests into fixed-shape batched forwards.
+
+    The jit forward at batch B costs barely more than batch 1 on the
+    MXU, so under concurrent load batching raises throughput up to ~B×.
+    A single worker thread drains the queue: it waits `window_ms` for
+    the FIRST request, then greedily takes up to `max_batch` already-
+    queued ones (no artificial latency when traffic is light — a lone
+    request never waits for peers).  The predictor pads the final chunk
+    internally, so the jit shape stays fixed at `max_batch`.
+    """
+
+    def __init__(self, predictor, max_batch: int):
+        import queue
+
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.queue: "queue.Queue" = queue.Queue()
+        self.batch_sizes: list = []  # observability (exposed in /info)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self.queue.put((image, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _worker(self):
+        while True:
+            first = self.queue.get()
+            group = [first]
+            while len(group) < self.max_batch:
+                try:
+                    group.append(self.queue.get_nowait())
+                except Exception:
+                    break
+            images = [g[0] for g in group]
+            try:
+                # pad to the fixed jit batch so one compilation serves
+                # every group size
+                padded = images + [images[0]] * (self.max_batch - len(images))
+                preds = self.predictor.predict_batch(padded)[: len(images)]
+                self.batch_sizes.append(len(images))
+                for (_, done, slot), pred in zip(group, preds):
+                    slot["result"] = pred
+                    done.set()
+            except Exception as e:  # propagate to every waiter
+                for _, done, slot in group:
+                    slot["error"] = e
+                    done.set()
+
+
 class SegmentationService:
-    """Predictor wrapper with warmup + single-device serialization."""
+    """Predictor wrapper with warmup + single-device serialization
+    (micro-batched when serve_batch > 1)."""
 
     def __init__(
         self,
         cfg: Config,
         checkpoint: Optional[str] = None,
         artifact: Optional[str] = None,
+        serve_batch: int = 1,
     ):
         self.cfg = cfg
+        self.batcher: Optional[_MicroBatcher] = None
         if artifact:
             self.predictor = ArtifactPredictor(artifact)
             # the artifact is self-describing; surface its true shape
@@ -118,6 +181,14 @@ class SegmentationService:
             )
         else:
             self.predictor = Predictor(cfg, checkpoint)
+            if serve_batch > 1:
+                self.batcher = _MicroBatcher(self.predictor, serve_batch)
+        if serve_batch > 1 and artifact:
+            raise ValueError(
+                "--serve-batch needs a live checkpoint predictor; an "
+                "exported artifact has a fixed baked-in batch size"
+            )
+        self.serve_batch = serve_batch
         self.source = "artifact" if artifact else "checkpoint"
         self._lock = threading.Lock()
         self.warm = False
@@ -125,8 +196,12 @@ class SegmentationService:
     def warmup(self):
         size = self.cfg.data.crop_size
         dummy = np.zeros((size, size, 3), np.uint8)
-        with self._lock:
-            self.predictor.predict_array(dummy)
+        if self.batcher is not None:
+            # compiles the fixed max_batch program the batcher serves
+            self.batcher.predict(dummy)
+        else:
+            with self._lock:
+                self.predictor.predict_array(dummy)
         self.warm = True
 
     def predict_png(
@@ -135,11 +210,16 @@ class SegmentationService:
         image = np.asarray(
             Image.open(io.BytesIO(image_bytes)).convert("RGB")
         )
-        with self._lock:
-            if sliding:
-                pred = self.predictor.predict_sliding(image)
-            else:
-                pred = self.predictor.predict_array(image)
+        if self.batcher is not None and not sliding:
+            # micro-batched path: the worker thread owns the device, no
+            # lock needed; concurrent requests ride one jit forward
+            pred = self.batcher.predict(image)
+        else:
+            with self._lock:
+                if sliding:
+                    pred = self.predictor.predict_sliding(image)
+                else:
+                    pred = self.predictor.predict_array(image)
         if color:
             out = Image.fromarray(
                 decode_segmap(pred, self.cfg.model.num_classes)
@@ -159,6 +239,10 @@ class SegmentationService:
             "warm": self.warm,
             "source": self.source,
             "geometry": "letterbox",
+            "serve_batch": self.serve_batch,
+            "recent_batch_sizes": (
+                self.batcher.batch_sizes[-20:] if self.batcher else []
+            ),
         }
 
 
@@ -234,8 +318,11 @@ class InferenceServer:
         host: str = "127.0.0.1",
         port: int = 8500,
         artifact: Optional[str] = None,
+        serve_batch: int = 1,
     ):
-        self.service = SegmentationService(cfg, checkpoint, artifact=artifact)
+        self.service = SegmentationService(
+            cfg, checkpoint, artifact=artifact, serve_batch=serve_batch
+        )
         self.httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self.service)
         )
