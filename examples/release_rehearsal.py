@@ -141,6 +141,10 @@ def rehearse(
                  "--gmmn-resume", gmmn_ckpt] + common)
         zs5_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-zs5")
 
+    with stage("evaluate"):
+        # standalone supervised evaluation of the seen checkpoint
+        run_cli(["evaluate", "--resume", seen_ckpt] + common)
+
     with stage("evaluate-gmmn+tta"):
         run_cli(["evaluate-gmmn", "--resume", seen_ckpt,
                  "--gmmn-resume", zs5_ckpt,

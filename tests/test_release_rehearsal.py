@@ -43,5 +43,5 @@ def test_release_rehearsal_cli_chain(tmp_path):
     # every stage ran (timings only record completed stages)
     assert set(summary["stage_seconds"]) == {
         "fabricate", "convert-weights", "train-seen", "train-gmmn",
-        "train-zs5", "evaluate-gmmn+tta", "export", "serve",
+        "train-zs5", "evaluate", "evaluate-gmmn+tta", "export", "serve",
     }
