@@ -27,6 +27,49 @@ sys.path.insert(
 pytestmark = pytest.mark.slow
 
 
+def test_context_graph_rehearsal_cli(tmp_path):
+    """Pascal-Context + --graph-context through the CLI surface on a
+    fabricated 59-class VOC2010 tree (the reference's
+    train_context_GMMN.py path, SURVEY §2.4 / BASELINE config 5):
+    train-seen -> train-gmmn --graph-context -> evaluate-gmmn."""
+    import json
+
+    from zs3_tpu.cli import main
+    from zs3_tpu.data.classes import CONTEXT_CLASSES
+    from zs3_tpu.data.fabricate import (
+        fabricate_context_tree,
+        fabricate_embedding_npy,
+    )
+    from zs3_tpu.utils.saver import Saver
+
+    root = str(tmp_path / "data")
+    stats = fabricate_context_tree(root)
+    assert stats["train_with_unseen"] > 0
+    emb = fabricate_embedding_npy(
+        str(tmp_path / "w2v_ctx.npy"), CONTEXT_CLASSES, dim=300
+    )
+    run = str(tmp_path / "run")
+    common = [
+        "--dataset", "context", "--data-root", root, "--backbone",
+        "resnet50", "--crop-size", "65", "--base-size", "65",
+        "--batch-size", "8", "--unseen-split", "2", "--embedding-path",
+        emb, "--compute-dtype", "float32", "--checkpoint-dir", run,
+        "--checkname", "ctx", "--epochs", "1", "--steps-per-epoch", "1",
+    ]
+    assert main(["train-seen"] + common) == 0
+    exp = Saver.latest_experiment(run, "context", "ctx")
+    seen = Saver.best_checkpoint(exp) or Saver.latest_checkpoint(exp)
+    assert main(["train-gmmn", "--resume", seen, "--graph-context"]
+                + common) == 0
+    gexp = Saver.latest_experiment(run, "context", "ctx-gmmn")
+    gmmn = Saver.best_checkpoint(gexp) or Saver.latest_checkpoint(gexp)
+    assert main(["evaluate-gmmn", "--resume", seen, "--gmmn-resume", gmmn,
+                 "--graph-context"] + common) == 0
+    # the gmmn config recorded graph conditioning
+    with open(os.path.join(gexp, "config.json")) as f:
+        assert json.load(f)["gmmn"]["graph_context"] is True
+
+
 def test_release_rehearsal_cli_chain(tmp_path):
     from release_rehearsal import rehearse
 

@@ -152,6 +152,51 @@ def fabricate_sbd_tree(
     return {"train": n}
 
 
+def fabricate_context_tree(
+    root: str,
+    n_train: int = 12,
+    n_val: int = 4,
+    seed: int = 2,
+    unseen_classes: Sequence[int] = (19, 33),  # cow, motorbike
+    unseen_every: int = 3,
+    sizes: Sequence[Tuple[int, int]] = _DEFAULT_SIZES,
+) -> Dict[str, int]:
+    """Write the Pascal-Context layout (VOC2010 + 59-class label PNGs,
+    what `cli prepare-context` produces from the detail JSON)."""
+    from zs3_tpu.data.classes import NUM_CONTEXT_CLASSES
+
+    base = os.path.join(root, "VOC2010")
+    os.makedirs(os.path.join(base, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(base, "SegmentationClassContext"), exist_ok=True)
+    sets = os.path.join(base, "ImageSets", "SegmentationContext")
+    os.makedirs(sets, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    seen = [
+        c for c in range(1, NUM_CONTEXT_CLASSES) if c not in set(unseen_classes)
+    ]
+    with_unseen = 0
+    for split, count in (("train", n_train), ("val", n_val)):
+        names = []
+        for i in range(count):
+            name = f"2010_{'0' if split == 'train' else '9'}{i:05d}"
+            names.append(name)
+            size = sizes[(i + (split == "val")) % len(sizes)]
+            classes = list(rng.choice(seen, size=3, replace=False))
+            if split == "val" or i % unseen_every == 0:
+                classes.append(int(unseen_classes[i % len(unseen_classes)]))
+                with_unseen += split == "train"
+            image, label = _fabricate_sample(rng, size, classes)
+            Image.fromarray(image).save(
+                os.path.join(base, "JPEGImages", name + ".jpg")
+            )
+            Image.fromarray(label).save(
+                os.path.join(base, "SegmentationClassContext", name + ".png")
+            )
+        with open(os.path.join(sets, split + ".txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return {"train": n_train, "val": n_val, "train_with_unseen": with_unseen}
+
+
 _RESNET_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 
