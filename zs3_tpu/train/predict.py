@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from zs3_tpu.core.config import Config
-from zs3_tpu.data.transforms import letterbox_image, normalize, unletterbox_pred
+from zs3_tpu.data.transforms import letterbox_image, unletterbox_pred
 from zs3_tpu.models.deeplab import build_deeplab
 from zs3_tpu.train.state import create_seg_state
 from zs3_tpu.utils.saver import Saver
@@ -43,15 +43,21 @@ class Predictor:
         self.variables = jax.device_put(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
+        from zs3_tpu.data.transforms import batched_normalize_device
+
+        # uint8 in, normalize INSIDE the jit: 4x less host->device
+        # traffic per request (matters through the relay) and no host
+        # float math on the serving path.
         self._predict = jax.jit(
             lambda v, x: jnp.argmax(
-                self.model.apply(v, x, train=False), axis=-1
+                self.model.apply(v, batched_normalize_device(x), train=False),
+                axis=-1,
             ).astype(jnp.int32)
         )
         self._logits = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False).astype(
-                jnp.float32
-            )
+            lambda v, x: self.model.apply(
+                v, batched_normalize_device(x), train=False
+            ).astype(jnp.float32)
         )
 
     def predict_array(self, image: np.ndarray) -> np.ndarray:
@@ -64,11 +70,8 @@ class Predictor:
         """
         h, w = image.shape[:2]
         canvas, content = letterbox_image(image, self.cfg.data.crop_size)
-        norm = normalize(
-            {"image": canvas, "label": np.zeros(canvas.shape[:2], np.uint8)}
-        )
         pred = np.asarray(
-            self._predict(self.variables, jnp.asarray(norm["image"])[None])
+            self._predict(self.variables, jnp.asarray(canvas)[None])
         )[0]
         return unletterbox_pred(pred, content, (h, w))
 
@@ -83,11 +86,7 @@ class Predictor:
         for image in images:
             canvas, content = letterbox_image(image, size)
             contents.append(content)
-            stacked.append(
-                normalize(
-                    {"image": canvas, "label": np.zeros((size, size), np.uint8)}
-                )["image"]
-            )
+            stacked.append(canvas)
         preds = np.asarray(
             self._predict(self.variables, jnp.asarray(np.stack(stacked)))
         )
@@ -125,9 +124,6 @@ class Predictor:
             canvas[:h, :w] = image
             image = canvas
         hp, wp = image.shape[:2]
-        norm = normalize(
-            {"image": image, "label": np.zeros((hp, wp), np.uint8)}
-        )["image"]
         stride = max(int(round(crop * (1 - overlap))), 1)
 
         def starts(extent):
@@ -143,7 +139,7 @@ class Predictor:
         for i in range(0, len(wins), window_batch):
             chunk = wins[i : i + window_batch]
             tiles = np.stack(
-                [norm[y : y + crop, x : x + crop] for (y, x) in chunk]
+                [image[y : y + crop, x : x + crop] for (y, x) in chunk]
             )
             n_real = len(chunk)
             if n_real < window_batch:  # keep the jit shape fixed
