@@ -26,12 +26,13 @@ MICRO-BATCHED onto one fixed-shape batched forward (a lone request
 never waits — the worker drains whatever is queued, padding to the jit
 batch); batch-N costs barely more than batch-1 on the MXU, so the
 DEVICE cost per request drops up to ~N×.  Measured under load (64
-concurrent requests, R101 @513², v5e): groups of 8 form as designed,
-but end-to-end gains depend on host headroom — on a 1-core host the
-per-request PNG decode/encode dominates (6.9 vs 6.5 req/s); with
-normal host parallelism the forward is the bottleneck batching
-removes.  Otherwise the device is serialized behind a lock.  Scale-out
-is N processes behind any load balancer, one chip each.
+concurrent requests, R101 @513², v5e): groups of 8 form as designed
+and uint8-to-device + on-device normalization raised loaded
+throughput 6.5 -> 8.3 req/s on a 1-CORE host, where the per-request
+PNG decode/encode is the remaining bottleneck; with normal host
+parallelism the forward is the bottleneck batching removes.
+Otherwise the device is serialized behind a lock.  Scale-out is N
+processes behind any load balancer, one chip each.
 """
 
 from __future__ import annotations
