@@ -102,12 +102,12 @@ class _MicroBatcher:
     """Aggregate concurrent requests into fixed-shape batched forwards.
 
     The jit forward at batch B costs barely more than batch 1 on the
-    MXU, so under concurrent load batching raises throughput up to ~B×.
-    A single worker thread drains the queue: it waits `window_ms` for
-    the FIRST request, then greedily takes up to `max_batch` already-
-    queued ones (no artificial latency when traffic is light — a lone
-    request never waits for peers).  The predictor pads the final chunk
-    internally, so the jit shape stays fixed at `max_batch`.
+    MXU, so under concurrent load batching cuts device cost per request
+    up to ~B×.  A single worker thread drains the queue: it blocks for
+    the FIRST request, then greedily takes whatever is ALREADY queued
+    up to `max_batch` — no artificial wait window, so a lone request
+    never pays latency for peers that may not come.  Groups pad to the
+    fixed `max_batch` jit shape (one compilation serves every size).
     """
 
     def __init__(self, predictor, max_batch: int):
@@ -130,13 +130,15 @@ class _MicroBatcher:
         return slot["result"]
 
     def _worker(self):
+        import queue
+
         while True:
             first = self.queue.get()
             group = [first]
             while len(group) < self.max_batch:
                 try:
                     group.append(self.queue.get_nowait())
-                except Exception:
+                except queue.Empty:
                     break
             images = [g[0] for g in group]
             try:
