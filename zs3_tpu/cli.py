@@ -42,6 +42,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--base-size", type=int)
     p.add_argument("--crop-size", type=int)
     p.add_argument("--batch-size", type=int)
+    p.add_argument("--grad-accum", type=int,
+                   help="microbatches per optimizer step (train-seen): "
+                        "batch-size stays the effective batch; activation "
+                        "memory drops to batch-size/N per step")
     p.add_argument("--epochs", type=int)
     p.add_argument("--steps-per-epoch", type=int)
     p.add_argument("--lr", type=float)
@@ -140,6 +144,7 @@ def build_config(args: argparse.Namespace) -> Config:
             cfg.train,
             epochs=args.epochs,
             steps_per_epoch=args.steps_per_epoch,
+            grad_accum=args.grad_accum,
             seed=args.seed,
             resume=args.resume,
             gmmn_resume=args.gmmn_resume,

@@ -160,6 +160,13 @@ class TrainConfig:
     # Mesh axes: (name, size). Size -1 = all remaining devices.
     mesh_axes: Tuple[Tuple[str, int], ...] = (("data", -1),)
     donate_state: bool = True
+    # Microbatches per optimizer step (train-seen).  data.batch_size is
+    # the EFFECTIVE batch; the jit step lax.scan's over grad_accum
+    # microbatches of batch_size/grad_accum, so activation memory is
+    # bounded by the microbatch while schedules/step counts see one
+    # step per loader batch.  BN stats update per microbatch (torch
+    # accumulation semantics).
+    grad_accum: int = 1
     # Test-time augmentation for validation: average softmax probs over
     # these input scales (+ horizontal mirror when eval_flip).  Defaults
     # reproduce the reference's single-scale protocol; (0.5, 0.75, 1.0,

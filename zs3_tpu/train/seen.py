@@ -41,13 +41,28 @@ def make_train_step(
     loss_at: str = "full",
     in_shardings=None,
     out_shardings=None,
+    grad_accum: int = 1,
+    mesh=None,
 ):
     """jit-compiled supervised train step.
 
     in_shardings/out_shardings (optional) forward to jax.jit — used by
     parallel.spatial to pin a (data x space) batch layout; the default
     lets shardings propagate from the inputs (plain data parallelism).
+
+    grad_accum > 1 splits the incoming batch into `grad_accum`
+    microbatches and lax.scan's over them inside the SAME jit program:
+    activation memory is bounded by the microbatch while the optimizer
+    sees the mean gradient of the full batch (one optimizer step per
+    loader batch, so LR-schedule/step semantics are unchanged).  BN
+    statistics update sequentially per microbatch — the same contract
+    as accumulating with small batches in the reference's torch loop —
+    and each microbatch draws an independent dropout key.  `mesh` (when
+    given) pins the microbatch dimension's sharding to the `data` axis
+    so the reshape cannot re-layout the batch across devices.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     jit_kwargs = {}
     if in_shardings is not None:
         jit_kwargs["in_shardings"] = in_shardings
@@ -72,12 +87,12 @@ def make_train_step(
             images = batched_normalize_device(images)
             images, labels = batched_random_flip_device(images, labels, flip_rng)
 
-        def compute_loss(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def micro_loss(params, stats, images, labels, drop_rng):
+            variables = {"params": params, "batch_stats": stats}
             kwargs = dict(
                 train=True,
                 deterministic=False,
-                rngs={"dropout": step_rng},
+                rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             if loss_at == "feature":
@@ -87,7 +102,7 @@ def make_train_step(
                     variables, images, method="forward_features", **kwargs
                 )
                 logits = state.apply_fn(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": params, "batch_stats": stats},
                     feats,
                     method="classify",
                 )
@@ -100,13 +115,85 @@ def make_train_step(
                     variables, images, **kwargs
                 )
                 loss = loss_fn(logits, labels)
-            return loss, (logits, updates)
+            return loss, updates["batch_stats"]
 
-        (loss, (_, updates)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        if grad_accum == 1:
+            (loss, new_stats), grads = grad_fn(
+                state.params, state.batch_stats, images, labels, step_rng
+            )
+        else:
+            bsz = images.shape[0]
+            if bsz % grad_accum:
+                raise ValueError(
+                    f"batch size {bsz} is not divisible by grad_accum "
+                    f"{grad_accum}"
+                )
+            micro = bsz // grad_accum
+            ndev = (
+                mesh.shape["data"]
+                if mesh is not None and "data" in mesh.axis_names
+                else 1
+            )
+            if ndev > 1 and micro % ndev == 0:
+                # Device-local microbatching.  The batch arrives sharded
+                # P('data') on dim 0: device d holds the contiguous rows
+                # [d*B/D, (d+1)*B/D).  A plain reshape to (accum, micro)
+                # takes CONTIGUOUS global slices per microbatch, which
+                # crosses shard boundaries and forces GSPMD into a full
+                # batch relayout (all-to-all / "involuntary full
+                # rematerialization") every step.  Instead split each
+                # device's local chunk into `accum` sub-chunks: the
+                # reshape->swapaxes->reshape below keeps every element on
+                # its original device (verified: no collective in the
+                # compiled HLO), at the cost of a fixed interleaving
+                # permutation of which samples form which microbatch —
+                # irrelevant to the averaged gradient, and BN-stat
+                # chaining has no sample-order contract.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sub = micro // ndev
+
+                def split_micro(x, cons3, cons2):
+                    y = x.reshape(ndev, grad_accum, sub, *x.shape[1:])
+                    y = jax.lax.with_sharding_constraint(y, cons3)
+                    y = jnp.swapaxes(y, 0, 1).reshape(
+                        grad_accum, micro, *x.shape[1:]
+                    )
+                    return jax.lax.with_sharding_constraint(y, cons2)
+
+                cons3 = NamedSharding(mesh, P("data"))
+                cons2 = NamedSharding(mesh, P(None, "data"))
+                images = split_micro(images, cons3, cons2)
+                labels = split_micro(labels, cons3, cons2)
+            else:
+                # Single device, or a degenerate micro < n_devices
+                # split: plain contiguous microbatches.
+                images = images.reshape(grad_accum, micro, *images.shape[1:])
+                labels = labels.reshape(grad_accum, micro, *labels.shape[1:])
+            micro_rngs = jax.random.split(step_rng, grad_accum)
+
+            def body(carry, xs):
+                stats, grad_sum, loss_sum = carry
+                mb_images, mb_labels, mb_rng = xs
+                (mb_loss, mb_stats), mb_grads = grad_fn(
+                    state.params, stats, mb_images, mb_labels, mb_rng
+                )
+                grad_sum = jax.tree.map(jnp.add, grad_sum, mb_grads)
+                return (mb_stats, grad_sum, loss_sum + mb_loss), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grad_sum, loss_sum), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, jnp.zeros((), jnp.float32)),
+                (images, labels, micro_rngs),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+            loss = loss_sum / grad_accum
+
         new_state = state.apply_gradients(grads=grads)
-        new_state = new_state.replace(batch_stats=updates["batch_stats"])
+        new_state = new_state.replace(batch_stats=new_stats)
         return new_state, {"loss": loss}
 
     return train_step
@@ -202,6 +289,8 @@ class SeenTrainer:
             cfg.train.donate_state,
             cfg.data.device_preprocess,
             cfg.optim.loss_at,
+            grad_accum=cfg.train.grad_accum,
+            mesh=self.mesh,
         )
         if tuple(cfg.train.eval_scales) != (1.0,) or cfg.train.eval_flip:
             # ms+flip TTA (DeepLab-lineage reporting mode; reference is
