@@ -186,6 +186,12 @@ def main(argv=None):
                            help="micro-batch up to N concurrent requests "
                                 "onto one jit forward (checkpoint serving "
                                 "only; ~Nx loaded throughput)")
+            p.add_argument("--int8", action="store_true",
+                           help="int8 MXU inference (~1.4x images/sec on "
+                                "v5e); requires --calib-images")
+            p.add_argument("--calib-images", nargs="+", default=None,
+                           help="representative images for int8 "
+                                "activation calibration")
         if name == "profile":
             p.add_argument("--steps", type=int, default=10,
                            help="train steps to time (first is warmup)")
@@ -200,6 +206,9 @@ def main(argv=None):
                            help="native-resolution sliding-window inference "
                                 "(overlapping crops, averaged probabilities) "
                                 "instead of a global resize")
+            p.add_argument("--int8", action="store_true",
+                           help="int8 MXU inference (~1.4x images/sec on "
+                                "v5e); calibrates on the input images")
         elif name == "prepare-context":
             p.add_argument("json", help="detail-API trainval_merged.json")
             p.add_argument("--overwrite", action="store_true",
@@ -233,6 +242,13 @@ def main(argv=None):
                            help="permit exporting without a checkpoint "
                                 "(randomly initialized weights; smoke "
                                 "artifacts only)")
+            p.add_argument("--int8", action="store_true",
+                           help="bake int8 MXU convs into the artifact "
+                                "(~1.4x images/sec on v5e); requires "
+                                "--calib-images")
+            p.add_argument("--calib-images", nargs="+", default=None,
+                           help="representative images for int8 "
+                                "activation calibration")
         elif name == "convert-weights":
             p.add_argument("pth", help="upstream-named backbone state_dict "
                            ".pth (torchvision resnet, reference xception/"
@@ -298,17 +314,38 @@ def main(argv=None):
         from zs3_tpu.train.predict import Predictor
 
         predictor = Predictor(cfg)
+        n_quant = 0
+        if args.int8:
+            import numpy as np
+            from PIL import Image as PILImage
+
+            calib = [
+                np.asarray(PILImage.open(p).convert("RGB"))
+                for p in args.images[:8]
+            ]
+            n_quant = predictor.quantize(calib)
+            print(f"int8: quantized {n_quant} convs", file=sys.stderr)
         written = predictor.predict_files(
             args.images, args.output, colorize=not args.no_color,
             sliding=args.sliding,
         )
         result = {"written": len(written), "output": args.output}
+        if args.int8:
+            result["int8_convs"] = n_quant
     elif args.command == "serve":
         from zs3_tpu.serve import InferenceServer
 
+        if args.int8 and not args.calib_images:
+            raise SystemExit("serve --int8 requires --calib-images")
+        if args.int8 and args.artifact:
+            raise SystemExit(
+                "serve --int8 applies to checkpoint serving; for artifact "
+                "serving, export with --int8 instead"
+            )
         server = InferenceServer(
             cfg, host=args.host, port=args.port, artifact=args.artifact,
             serve_batch=args.serve_batch,
+            int8_calib_images=args.calib_images if args.int8 else None,
         )
         print(
             json.dumps({"serving": f"http://{args.host}:{server.port}"}),
@@ -427,12 +464,24 @@ def main(argv=None):
     elif args.command == "export":
         from zs3_tpu.export import export_predictor, save_exported
 
+        calib = None
+        if args.int8:
+            if not args.calib_images:
+                raise SystemExit("export --int8 requires --calib-images")
+            import numpy as np
+            from PIL import Image as PILImage
+
+            calib = [
+                np.asarray(PILImage.open(p).convert("RGB"))
+                for p in args.calib_images
+            ]
         blob, manifest = export_predictor(
             cfg,
             batch_size=args.export_batch,
             emit=args.emit,
             platforms=args.platforms.split(",") if args.platforms else None,
             allow_random=args.allow_random,
+            int8_calib_images=calib,
         )
         save_exported(args.output, blob, manifest)
         result = {"artifact": args.output, "bytes": len(blob), **manifest}

@@ -30,12 +30,20 @@ import numpy as np
 from zs3_tpu.core.config import Config
 
 
-def make_inference_fn(model, variables, emit: str = "labels") -> Callable:
+def make_inference_fn(
+    model, variables, emit: str = "labels", int8_scales=None
+) -> Callable:
     """Self-contained inference: uint8 NHWC batch -> labels or logits.
 
     Weights are closed over (they become constants of the exported
     module), so the artifact needs no side-band checkpoint.
+    `int8_scales` (zs3_tpu.quant.calibrate output) bakes the s8 x s8
+    MXU conv lowering into the traced program — the artifact itself is
+    quantized; loaders need no knowledge of it.
     """
+    import contextlib
+
+    from zs3_tpu import quant
     from zs3_tpu.data.transforms import batched_normalize_device
 
     if emit not in ("labels", "logits"):
@@ -43,9 +51,17 @@ def make_inference_fn(model, variables, emit: str = "labels") -> Callable:
 
     def infer(images: jax.Array) -> jax.Array:
         x = batched_normalize_device(images)
-        # __call__ upsamples to input resolution via the portable
-        # align-corners resize (ops/resize.py) — backend-agnostic.
-        logits = model.apply(variables, x, train=False).astype(jnp.float32)
+        ctx = (
+            quant.quantized(int8_scales)
+            if int8_scales
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            # __call__ upsamples to input resolution via the portable
+            # align-corners resize (ops/resize.py) — backend-agnostic.
+            logits = model.apply(variables, x, train=False).astype(
+                jnp.float32
+            )
         if emit == "logits":
             return logits
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -94,6 +110,7 @@ def export_predictor(
     emit: str = "labels",
     platforms: Optional[Sequence[str]] = None,
     allow_random: bool = False,
+    int8_calib_images: Optional[Sequence[np.ndarray]] = None,
 ) -> Tuple[bytes, dict]:
     """Export the (checkpoint-restored) inference path to StableHLO bytes.
 
@@ -150,8 +167,30 @@ def export_predictor(
             gmmn_ckpt, cfg.model.num_classes
         )
         variables = splice_classifier(variables, cls_params)
-    infer = make_inference_fn(model, variables, emit)
     size = cfg.data.crop_size
+    int8_scales = None
+    if int8_calib_images is not None:
+        from zs3_tpu import quant
+        from zs3_tpu.data.transforms import (
+            batched_normalize_device,
+            letterbox_image,
+        )
+
+        canvases = np.stack(
+            [
+                letterbox_image(np.asarray(img), size)[0]
+                for img in int8_calib_images
+            ]
+        )
+        int8_scales = quant.calibrate(
+            lambda v, x, **kw: model.apply(
+                v, batched_normalize_device(x), **kw
+            ),
+            variables,
+            [canvases],
+            apply_kwargs={"train": False},
+        )
+    infer = make_inference_fn(model, variables, emit, int8_scales=int8_scales)
     spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
     if platforms is None and jax.default_backend() not in (
         "cpu", "tpu", "cuda", "rocm",
@@ -177,6 +216,7 @@ def export_predictor(
         "crop_size": size,
         "emit": emit,
         "zero_shot_classifier": bool(gmmn_ckpt),
+        "int8": int8_scales is not None,
     }
     return exported.serialize(), manifest
 

@@ -31,6 +31,71 @@ def _pad_pair(p: Union[int, Tuple[int, int]]) -> Tuple[Tuple[int, int], ...]:
     return (tuple(p), tuple(p))  # type: ignore[return-value]
 
 
+class _ConvImpl(nn.Module):
+    """Direct lax conv with nn.Conv's exact param layout (kernel/bias).
+
+    Replaces the earlier nn.Conv delegation so the int8 inference path
+    (zs3_tpu.quant) can reach the kernel parameter: when an activation
+    scale for this module's path is active (quant.current_scales()),
+    the conv runs as s8 x s8 -> s32 on the MXU — v5e executes int8 at
+    ~1.4-2x the bf16 rate (measured: 168 vs 116 TF/s on a chained
+    3x3x256 conv; 309 vs 147 on 8192^3 matmuls) — and dequantizes into
+    the output dtype.  Checkpoints/converters are unaffected: param
+    tree, init, and float math are identical to nn.Conv.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: Union[int, Tuple[int, int]]
+    dilation: int
+    use_bias: bool
+    dtype: Dtype
+    feature_group_count: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        pad = _pad_pair(self.padding)
+        strides = (self.stride, self.stride)
+        rhs_dil = (self.dilation, self.dilation)
+
+        from zs3_tpu import quant
+
+        act_scale = quant.scale_for(self.path)
+        if act_scale is not None and self.feature_group_count == 1:
+            y = quant.int8_conv(
+                x, kernel, act_scale, strides, pad, rhs_dil, self.dtype
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                strides,
+                pad,
+                rhs_dilation=rhs_dil,
+                dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv(nn.Module):
     """2-D conv, NHWC, torch-style integer padding, no bias by default."""
 
@@ -45,15 +110,14 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(
+        return _ConvImpl(
             features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=_pad_pair(self.padding),
-            kernel_dilation=(self.dilation, self.dilation),
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             feature_group_count=self.feature_group_count,
             name="conv",
         )(x)

