@@ -90,6 +90,56 @@ def test_infer_command(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_infer_int8_command(tmp_path, capsys):
+    """--int8 through the argparse surface: calibrates on the inputs,
+    reports the quantized-conv count, writes the same artifacts."""
+    import numpy as np
+    from PIL import Image
+
+    img = tmp_path / "scene.jpg"
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    ).save(img)
+    out = tmp_path / "preds"
+    rc = main(
+        ["infer", str(img), "--int8", "--output", str(out),
+         "--dataset", "synthetic", "--backbone", "resnet50",
+         "--crop-size", "65", "--base-size", "65",
+         "--compute-dtype", "float32"]
+    )
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["int8_convs"] > 50
+    assert np.asarray(Image.open(out / "scene.png")).shape == (40, 50)
+
+
+@pytest.mark.slow
+def test_export_int8_requires_calib(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+
+    with pytest.raises(SystemExit):
+        main(["export", "--int8", "--output", str(tmp_path / "q.shlo"),
+              "--allow-random", "--dataset", "synthetic",
+              "--backbone", "resnet50", "--crop-size", "65",
+              "--compute-dtype", "float32"])
+
+    cal = tmp_path / "cal.jpg"
+    Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (65, 65, 3), dtype=np.uint8)
+    ).save(cal)
+    rc = main(
+        ["export", "--int8", "--calib-images", str(cal),
+         "--output", str(tmp_path / "q.shlo"), "--allow-random",
+         "--dataset", "synthetic", "--backbone", "resnet50",
+         "--crop-size", "65", "--compute-dtype", "float32"]
+    )
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["int8"] is True and result["bytes"] > 0
+
+
+@pytest.mark.slow
 def test_convert_weights_command(tmp_path, capsys):
     import sys
 

@@ -149,6 +149,43 @@ def test_predictor_int8_surface():
 
 
 @pytest.mark.slow
+def test_int8_eval_close_to_float(tmp_path):
+    """evaluate --int8: same state, quantized vs float validation —
+    the reported metrics must agree closely (measured argmax agreement
+    ~0.98 even on random-init weights)."""
+    import dataclasses
+
+    from zs3_tpu.core.config import TrainConfig
+    from zs3_tpu.train.seen import SeenTrainer
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=4, compute_dtype="float32",
+            dropout=False,
+        ),
+        data=DataConfig(
+            dataset="synthetic", crop_size=49, base_size=49,
+            batch_size=4, eval_batch_size=4,
+        ),
+        train=TrainConfig(
+            epochs=0, checkpoint_dir=str(tmp_path / "f"), seed=7
+        ),
+    )
+    r_float = SeenTrainer(cfg).validate(epoch=0)
+
+    cfg_q = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, int8_eval=True, checkpoint_dir=str(tmp_path / "q")
+        )
+    )
+    trainer_q = SeenTrainer(cfg_q)
+    r_int8 = trainer_q.validate(epoch=0)
+    assert trainer_q._int8_scales, "int8_eval must calibrate scales"
+    assert abs(r_int8["miou"] - r_float["miou"]) < 0.05
+    assert abs(r_int8["pixel_accuracy"] - r_float["pixel_accuracy"]) < 0.05
+
+
+@pytest.mark.slow
 def test_export_int8_roundtrip(tmp_path):
     """export --int8 bakes quantized convs into a standalone artifact."""
     from zs3_tpu.export import export_predictor, load_exported, save_exported

@@ -176,6 +176,11 @@ def main(argv=None):
     ):
         p = sub.add_parser(name)
         _add_common(p)
+        if name in ("evaluate", "evaluate-gmmn"):
+            p.add_argument("--int8", action="store_true",
+                           help="validate with int8 PTQ convs (calibrated "
+                                "on the first val batches) — measures the "
+                                "deployment path's mIoU delta")
         if name == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8500)
@@ -304,11 +309,19 @@ def main(argv=None):
     elif args.command == "evaluate":
         from zs3_tpu.train.seen import SeenTrainer
 
+        if args.int8:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, int8_eval=True)
+            )
         trainer = SeenTrainer(cfg)
         result = trainer.validate(epoch=0)
     elif args.command == "evaluate-gmmn":
         from zs3_tpu.train.gmmn import GMMNTrainer
 
+        if args.int8:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, int8_eval=True)
+            )
         result = GMMNTrainer(cfg).validate(epoch=0)
     elif args.command == "infer":
         from zs3_tpu.train.predict import Predictor

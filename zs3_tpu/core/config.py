@@ -167,6 +167,11 @@ class TrainConfig:
     # step per loader batch.  BN stats update per microbatch (torch
     # accumulation semantics).
     grad_accum: int = 1
+    # Validate with int8 PTQ convs (zs3_tpu.quant): calibrates on the
+    # first two val batches, then evaluates the reference protocol with
+    # the s8 x s8 MXU lowering — the one-flag way to measure the int8
+    # deployment path's mIoU delta (`cli evaluate[-gmmn] --int8`).
+    int8_eval: bool = False
     # Test-time augmentation for validation: average softmax probs over
     # these input scales (+ horizontal mirror when eval_flip).  Defaults
     # reproduce the reference's single-scale protocol; (0.5, 0.75, 1.0,

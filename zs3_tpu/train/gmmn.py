@@ -543,17 +543,43 @@ class GMMNTrainer:
         self.logger.log(int(jax.device_get(self.gen_state.step)), stats, prefix="train")
         return stats
 
+    def _int8_eval_ctx(self):
+        """int8 validation (cfg.train.int8_eval): calibrate the trunk's
+        conv activations (classifier is excluded by design — it is the
+        retrained zero-shot head under evaluation) and run the eval jits
+        quantized.  Mirrors SeenTrainer._int8_eval_ctx."""
+        import contextlib
+
+        if not self.cfg.train.int8_eval:
+            return contextlib.nullcontext()
+        from zs3_tpu import quant
+
+        if getattr(self, "_int8_scales", None) is None:
+            batches = []
+            for batch in self.val_loader:
+                batches.append(self._device_batch(batch, eval=True)["image"])
+                if len(batches) >= 2:
+                    break
+            self._int8_scales = quant.calibrate(
+                self.model.apply,
+                self.trunk_variables,
+                batches,
+                apply_kwargs={"train": False, "method": "forward_features"},
+            )
+        return quant.quantized(self._int8_scales)
+
     def validate(self, epoch: int) -> Dict[str, float]:
         evaluator = Evaluator(
             self.num_classes, self.cfg.data.ignore_index, self.unseen
         )
-        for batch in self.val_loader:
-            conf = self.eval_fn(
-                self.trunk_variables,
-                self.cls_state.params,
-                self._device_batch(batch, eval=True),
-            )
-            evaluator.add_confusion(conf)
+        with self._int8_eval_ctx():
+            for batch in self.val_loader:
+                conf = self.eval_fn(
+                    self.trunk_variables,
+                    self.cls_state.params,
+                    self._device_batch(batch, eval=True),
+                )
+                evaluator.add_confusion(conf)
         report = evaluator.compute()
         self.logger.log(
             int(jax.device_get(self.gen_state.step)), report.as_dict(), prefix="val"

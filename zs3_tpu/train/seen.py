@@ -323,6 +323,7 @@ class SeenTrainer:
             self.saver.directory, tensorboard=cfg.train.tensorboard
         )
         self.best_metric = 0.0
+        self._int8_scales = None
         if cfg.train.resume and not cfg.train.finetune:
             # Carry the best-so-far across a resume so a post-crash
             # validation can't re-point 'best' at a worse model.
@@ -367,6 +368,35 @@ class SeenTrainer:
         self.history.append(stats)
         return stats
 
+    def _int8_eval_ctx(self):
+        """quantized() context for validation when cfg.train.int8_eval.
+
+        Calibrates once from the first two val batches (exactly the
+        tensors the eval step consumes).  The eval jits trace on first
+        call, which happens inside this context in validate(), so the
+        cached executables are consistently quantized for the
+        trainer's lifetime (int8_eval is frozen config).
+        """
+        import contextlib
+
+        if not self.cfg.train.int8_eval:
+            return contextlib.nullcontext()
+        from zs3_tpu import quant
+
+        if self._int8_scales is None:
+            batches = []
+            for batch in self.val_loader:
+                batches.append(self._device_batch(batch, eval=True)["image"])
+                if len(batches) >= 2:
+                    break
+            self._int8_scales = quant.calibrate(
+                self.model.apply,
+                self.state.eval_variables(),
+                batches,
+                apply_kwargs={"train": False},
+            )
+        return quant.quantized(self._int8_scales)
+
     def validate(self, epoch: int) -> Dict[str, float]:
         evaluator = Evaluator(
             self.num_classes,
@@ -374,11 +404,14 @@ class SeenTrainer:
             self.cfg.data.unseen_classes,
         )
         panel_batch = None
-        for batch in self.val_loader:
-            if panel_batch is None:
-                panel_batch = batch
-            conf = self.eval_step(self.state, self._device_batch(batch, eval=True))
-            evaluator.add_confusion(conf)
+        with self._int8_eval_ctx():
+            for batch in self.val_loader:
+                if panel_batch is None:
+                    panel_batch = batch
+                conf = self.eval_step(
+                    self.state, self._device_batch(batch, eval=True)
+                )
+                evaluator.add_confusion(conf)
         if self.cfg.train.tensorboard and panel_batch is not None:
             self._log_panels(panel_batch)
         report = evaluator.compute()
