@@ -127,6 +127,35 @@ def test_quantized_forward_close_to_float():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("backbone", ["mobilenet", "drn", "xception"])
+def test_quantize_other_backbones(backbone):
+    """Calibration + quantized forward across backbone families:
+    depthwise (MobileNetV2) and grouped separable (Xception) convs
+    stay float via the feature_group_count guard; the surrounding
+    pointwise/dense convs quantize."""
+    model = DeepLab(
+        backbone=backbone, num_classes=4, dropout=False, dtype=jnp.float32
+    )
+    x = np.random.default_rng(5).standard_normal((1, 33, 33, 3)).astype(
+        np.float32
+    )
+    variables = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+    scales = quant.calibrate(
+        model.apply, variables, [x], apply_kwargs={"train": False}
+    )
+    assert len(scales) > 10, f"{backbone}: only {len(scales)} convs calibrated"
+    float_logits = model.apply(variables, jnp.asarray(x), train=False)
+    with quant.quantized(scales):
+        q_logits = jax.jit(
+            lambda v, a: model.apply(v, a, train=False)
+        )(variables, jnp.asarray(x))
+    agree = float(
+        jnp.mean(jnp.argmax(q_logits, -1) == jnp.argmax(float_logits, -1))
+    )
+    assert agree > 0.85, f"{backbone}: argmax agreement {agree}"
+
+
+@pytest.mark.slow
 def test_predictor_int8_surface():
     """Predictor.quantize switches the jit to int8 and predictions stay
     close to the float predictor's on the same image."""
