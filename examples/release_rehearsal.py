@@ -145,6 +145,11 @@ def rehearse(
         # standalone supervised evaluation of the seen checkpoint
         run_cli(["evaluate", "--resume", seen_ckpt] + common)
 
+    with stage("evaluate-int8"):
+        # the int8 deployment path through the same protocol: calibrates
+        # on the first val batches, validates with s8 x s8 MXU convs
+        run_cli(["evaluate", "--int8", "--resume", seen_ckpt] + common)
+
     with stage("evaluate-gmmn+tta"):
         run_cli(["evaluate-gmmn", "--resume", seen_ckpt,
                  "--gmmn-resume", zs5_ckpt,
