@@ -102,7 +102,8 @@ def test_infer_int8_command(tmp_path, capsys):
     ).save(img)
     out = tmp_path / "preds"
     rc = main(
-        ["infer", str(img), "--int8", "--output", str(out),
+        ["infer", str(img), "--int8", "--int8-percentile", "99.5",
+         "--output", str(out),
          "--dataset", "synthetic", "--backbone", "resnet50",
          "--crop-size", "65", "--base-size", "65",
          "--compute-dtype", "float32"]

@@ -104,6 +104,31 @@ def test_calibrate_excludes_classifier_and_covers_convs():
     assert back == scales
 
 
+def test_percentile_calibration_clips_outliers():
+    """percentile=P calibrates each conv to the P-th percentile of
+    |input|: every scale is <= the absmax scale, outlier-carrying convs
+    get strictly smaller scales, and the quantized forward still runs."""
+    _, model, variables, x = _tiny_model()
+    kwargs = dict(apply_kwargs={"train": False})
+    absmax = quant.calibrate(model.apply, variables, [x], **kwargs)
+    p99 = quant.calibrate(
+        model.apply, variables, [x], percentile=99.0, **kwargs
+    )
+    assert set(p99) == set(absmax)
+    assert all(p99[k] <= absmax[k] + 1e-6 for k in absmax)
+    # real activation tensors have tails; at P=99 a solid majority of
+    # convs must calibrate strictly below their max
+    frac_smaller = np.mean(
+        [p99[k] < absmax[k] * 0.999 for k in absmax]
+    )
+    assert frac_smaller > 0.5, f"only {frac_smaller:.0%} clipped"
+    with quant.quantized(p99):
+        q = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+            variables, jnp.asarray(x)
+        )
+    assert bool(jnp.all(jnp.isfinite(q)))
+
+
 def test_quantized_forward_close_to_float():
     _, model, variables, x = _tiny_model()
     float_logits = model.apply(variables, jnp.asarray(x), train=False)

@@ -120,6 +120,24 @@ def test_zero_shot_transfer_end_to_end(tmp_path):
     )
     assert np.isfinite(report["miou"])
 
+    # int8 PTQ deployment contract: quantized validation of the SAME
+    # trained zero-shot model must preserve the transfer.  A fresh
+    # trainer is required — the eval jit traces at first call, and the
+    # quantized() context only binds at trace time (zs3_tpu.quant).
+    qcfg = gcfg.replace(
+        train=dataclasses.replace(gcfg.train, int8_eval=True)
+    )
+    tq = GMMNTrainer(qcfg, seg_variables=variables)
+    tq.gen_state, tq.cls_state = t.gen_state, t.cls_state
+    report_q = tq.validate(gcfg.train.epochs - 1)
+    assert report_q["unseen_miou"] > 0.8 * report["unseen_miou"] - 0.01, (
+        f"int8 eval lost the zero-shot transfer: "
+        f"float={report} int8={report_q}"
+    )
+    assert abs(report_q["seen_miou"] - report["seen_miou"]) < 0.05, (
+        f"int8 eval shifted seen mIoU: float={report} int8={report_q}"
+    )
+
     # Stage 3: ZS5 self-training (paper claim: self-training lifts
     # unseen/harmonic over ZS3Net — SURVEY.md §6).  Warm-start
     # generator+classifier from the trained ZS3Net, pseudo-label the

@@ -176,6 +176,14 @@ def main(argv=None):
     ):
         p = sub.add_parser(name)
         _add_common(p)
+        if name in ("evaluate", "evaluate-gmmn", "infer", "serve", "export"):
+            p.add_argument("--int8-percentile", type=float, default=None,
+                           metavar="P",
+                           help="calibrate int8 activation scales to this "
+                                "percentile of |conv input| (e.g. 99.99) "
+                                "instead of the absolute max — clips "
+                                "outliers to keep 8-bit resolution on the "
+                                "bulk of the range (default: absmax)")
         if name in ("evaluate", "evaluate-gmmn"):
             p.add_argument("--int8", action="store_true",
                            help="validate with int8 PTQ convs (calibrated "
@@ -264,6 +272,12 @@ def main(argv=None):
                            help="replace an existing --output checkpoint")
     args = parser.parse_args(argv)
     cfg = build_config(args)
+    if getattr(args, "int8_percentile", None) is not None:
+        cfg = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, int8_percentile=args.int8_percentile
+            )
+        )
 
     if getattr(args, "auto_resume", None):
         from zs3_tpu.utils.saver import Saver
@@ -336,7 +350,9 @@ def main(argv=None):
                 np.asarray(PILImage.open(p).convert("RGB"))
                 for p in args.images[:8]
             ]
-            n_quant = predictor.quantize(calib)
+            n_quant = predictor.quantize(
+                calib, percentile=cfg.train.int8_percentile
+            )
             print(f"int8: quantized {n_quant} convs", file=sys.stderr)
         written = predictor.predict_files(
             args.images, args.output, colorize=not args.no_color,

@@ -172,6 +172,11 @@ class TrainConfig:
     # the s8 x s8 MXU lowering — the one-flag way to measure the int8
     # deployment path's mIoU delta (`cli evaluate[-gmmn] --int8`).
     int8_eval: bool = False
+    # Percentile of |conv input| to calibrate int8 activation scales to
+    # (e.g. 99.99) instead of the absolute max — clips activation
+    # outliers so the bulk of the range keeps its 8-bit resolution.
+    # None = absmax.  Only read when int8_eval.
+    int8_percentile: Optional[float] = None
     # Test-time augmentation for validation: average softmax probs over
     # these input scales (+ horizontal mirror when eval_flip).  Defaults
     # reproduce the reference's single-scale protocol; (0.5, 0.75, 1.0,

@@ -189,6 +189,7 @@ def export_predictor(
             variables,
             [canvases],
             apply_kwargs={"train": False},
+            percentile=cfg.train.int8_percentile,
         )
     infer = make_inference_fn(model, variables, emit, int8_scales=int8_scales)
     spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)

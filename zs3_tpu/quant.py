@@ -51,8 +51,9 @@ _ACTIVE: contextvars.ContextVar[Optional[Dict[PathKey, float]]] = (
 
 # Paths containing any of these segments never quantize: the classifier
 # conv emits the logits the zero-shot pipeline retrains and compares in
-# f32, and `pool` marks ASPP's global-pool branch (1x1 spatial — no
-# FLOPs to win, and its absmax calibration is the least representative).
+# f32.  (The stem needs no entry — it bypasses the Conv wrapper, and
+# depthwise/grouped convs fall back to float via the
+# feature_group_count guard in models/layers._ConvImpl.)
 DEFAULT_EXCLUDE: Tuple[str, ...] = ("classifier",)
 
 
@@ -120,7 +121,7 @@ def int8_conv(
     return (y.astype(jnp.float32) * (s_act * s_w)).astype(out_dtype)
 
 
-def _conv_interceptor(record_into):
+def _conv_interceptor(record_into, percentile: Optional[float]):
     from zs3_tpu.models.layers import _ConvImpl
 
     def interceptor(next_fn, args, kwargs, context):
@@ -130,10 +131,19 @@ def _conv_interceptor(record_into):
             and context.method_name == "__call__"
             and mod.feature_group_count == 1
         ):
+            mag = jnp.abs(args[0].astype(jnp.float32))
+            stat = (
+                jnp.max(mag)
+                if percentile is None
+                # per-batch percentile, maxed across batches — clips
+                # activation outliers so the bulk of the range keeps
+                # its 8-bit resolution (values beyond saturate at 127)
+                else jnp.percentile(mag.reshape(-1), percentile)
+            )
             mod.sow(
                 "quant_stats",
                 "in_absmax",
-                jnp.max(jnp.abs(args[0].astype(jnp.float32))),
+                stat,
                 reduce_fn=jnp.maximum,
                 init_fn=lambda: jnp.float32(0.0),
             )
@@ -150,6 +160,7 @@ def calibrate(
     *,
     exclude: Sequence[str] = DEFAULT_EXCLUDE,
     apply_kwargs: Optional[Dict[str, Any]] = None,
+    percentile: Optional[float] = None,
 ) -> Dict[PathKey, float]:
     """Run `batches` through the float model, return conv-input absmax.
 
@@ -158,6 +169,12 @@ def calibrate(
     each conv input's absmax under a side collection, so the whole
     forward stays ONE jit program per batch shape.  Returns
     {conv module path: absmax} with `exclude` substrings dropped.
+
+    `percentile` (e.g. 99.99) calibrates each conv to that percentile
+    of |input| instead of the max: activation outliers saturate at
+    +-127 while the bulk of the distribution keeps its 8-bit
+    resolution — the standard PTQ accuracy knob when absmax is
+    outlier-inflated.
     """
     import flax.linen as nn
     from flax import traverse_util
@@ -168,7 +185,7 @@ def calibrate(
 
     @jax.jit
     def run(v, x):
-        with nn.intercept_methods(_conv_interceptor(seen_paths)):
+        with nn.intercept_methods(_conv_interceptor(seen_paths, percentile)):
             _, stats = apply_fn(
                 v, x, mutable=["quant_stats"], **apply_kwargs
             )

@@ -199,7 +199,9 @@ class SegmentationService:
                     np.asarray(PILImage.open(p).convert("RGB"))
                     for p in int8_calib_images
                 ]
-                self.int8_convs = self.predictor.quantize(calib)
+                self.int8_convs = self.predictor.quantize(
+                    calib, percentile=cfg.train.int8_percentile
+                )
             if serve_batch > 1:
                 self.batcher = _MicroBatcher(self.predictor, serve_batch)
         if serve_batch > 1 and artifact:

@@ -565,6 +565,7 @@ class GMMNTrainer:
                 self.trunk_variables,
                 batches,
                 apply_kwargs={"train": False, "method": "forward_features"},
+                percentile=self.cfg.train.int8_percentile,
             )
         return quant.quantized(self._int8_scales)
 

@@ -394,6 +394,7 @@ class SeenTrainer:
                 self.state.eval_variables(),
                 batches,
                 apply_kwargs={"train": False},
+                percentile=self.cfg.train.int8_percentile,
             )
         return quant.quantized(self._int8_scales)
 
