@@ -259,3 +259,58 @@ def test_export_int8_roundtrip(tmp_path):
     assert out.shape == (1, 33, 33) and out.dtype == np.int32
     # the serialized module must actually contain int8 convolutions
     assert b"i8" in blob
+
+
+def test_filter_excluded_substring_semantics():
+    """exclude entries are substrings of the joined 'a/b/c' path, not
+    exact segment matches (regression: a head module named anything but
+    'classifier' must still be excludable)."""
+    scales = {
+        ("decoder", "classifier", "conv"): 1.0,
+        ("decoder", "cls_head", "conv"): 2.0,
+        ("backbone", "layer1", "conv"): 3.0,
+    }
+    assert quant.filter_excluded(scales, ("classifier",)) == {
+        ("decoder", "cls_head", "conv"): 2.0,
+        ("backbone", "layer1", "conv"): 3.0,
+    }
+    # substring spanning segments and partial-segment matches both work
+    assert quant.filter_excluded(scales, ("cls",)) == {
+        ("decoder", "classifier", "conv"): 1.0,
+        ("backbone", "layer1", "conv"): 3.0,
+    }
+    assert quant.filter_excluded(scales, ("decoder/cls",)) == {
+        ("decoder", "classifier", "conv"): 1.0,
+        ("backbone", "layer1", "conv"): 3.0,
+    }
+
+
+def test_lane_starved_conv_stays_float():
+    """Convs with < MIN_QUANT_IN_CH input channels (the drn/mobilenet/
+    xception stems route through the Conv wrapper) are never calibrated
+    and never lowered to int8, even under hand-written scales."""
+    from zs3_tpu.models.layers import Conv
+
+    rng = np.random.default_rng(7)
+    x3 = jnp.asarray(rng.standard_normal((1, 9, 9, 3)), jnp.float32)
+    x16 = jnp.asarray(rng.standard_normal((1, 9, 9, 16)), jnp.float32)
+    conv3 = Conv(features=8, kernel_size=3, padding=1)
+    conv16 = Conv(features=8, kernel_size=3, padding=1)
+    v3 = conv3.init(jax.random.key(0), x3)
+    v16 = conv16.init(jax.random.key(0), x16)
+
+    # calibration records the 16-ch conv, skips the 3-ch one
+    assert quant.calibrate(conv3.apply, v3, [np.asarray(x3)]) == {}
+    s16 = quant.calibrate(conv16.apply, v16, [np.asarray(x16)])
+    assert list(s16) == [("conv",)]
+
+    # lowering: hand-written scales quantize the 16-ch conv (output
+    # moves) but are ignored by the lane-starved one (bitwise float)
+    y3_float = conv3.apply(v3, x3)
+    y16_float = conv16.apply(v16, x16)
+    with quant.quantized({("conv",): 3.0}):
+        y3_q = jax.jit(conv3.apply)(v3, x3)
+        y16_q = jax.jit(conv16.apply)(v16, x16)
+    assert np.array_equal(np.asarray(y3_q), np.asarray(y3_float))
+    assert not np.array_equal(np.asarray(y16_q), np.asarray(y16_float))
+    assert np.allclose(y16_q, y16_float, atol=0.2)

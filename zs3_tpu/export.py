@@ -217,7 +217,9 @@ def export_predictor(
         "crop_size": size,
         "emit": emit,
         "zero_shot_classifier": bool(gmmn_ckpt),
-        "int8": int8_scales is not None,
+        # bool() matches make_inference_fn's truthiness: an empty
+        # calibration result traces float and must be labeled float.
+        "int8": bool(int8_scales),
     }
     return exported.serialize(), manifest
 

@@ -36,7 +36,8 @@ class _ConvImpl(nn.Module):
 
     Replaces the earlier nn.Conv delegation so the int8 inference path
     (zs3_tpu.quant) can reach the kernel parameter: when an activation
-    scale for this module's path is active (quant.current_scales()),
+    scale for this module's path is active (quant.scale_for) and the
+    input is not lane-starved (>= quant.MIN_QUANT_IN_CH channels),
     the conv runs as s8 x s8 -> s32 on the MXU — v5e executes int8 at
     ~1.4-2x the bf16 rate (measured: 168 vs 116 TF/s on a chained
     3x3x256 conv; 309 vs 147 on 8192^3 matmuls) — and dequantizes into
@@ -77,7 +78,11 @@ class _ConvImpl(nn.Module):
         from zs3_tpu import quant
 
         act_scale = quant.scale_for(self.path)
-        if act_scale is not None and self.feature_group_count == 1:
+        if (
+            act_scale is not None
+            and self.feature_group_count == 1
+            and x.shape[-1] >= quant.MIN_QUANT_IN_CH
+        ):
             y = quant.int8_conv(
                 x, kernel, act_scale, strides, pad, rhs_dil, self.dtype
             )

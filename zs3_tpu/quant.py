@@ -29,7 +29,7 @@ Activation: how it runs
 
 Accuracy contract: argmax-agreement and mIoU-delta bars live in
 tests/test_quant.py; the serving/eval surfaces expose this as
-`--int8 [--calib-batches N]`.
+`--int8 [--calib-images ...] [--int8-percentile P]`.
 """
 
 from __future__ import annotations
@@ -49,12 +49,19 @@ _ACTIVE: contextvars.ContextVar[Optional[Dict[PathKey, float]]] = (
     contextvars.ContextVar("zs3_quant_scales", default=None)
 )
 
-# Paths containing any of these segments never quantize: the classifier
-# conv emits the logits the zero-shot pipeline retrains and compares in
-# f32.  (The stem needs no entry — it bypasses the Conv wrapper, and
-# depthwise/grouped convs fall back to float via the
+# Paths containing any of these substrings never quantize: the
+# classifier conv emits the logits the zero-shot pipeline retrains and
+# compares in f32.  (Depthwise/grouped convs fall back to float via the
 # feature_group_count guard in models/layers._ConvImpl.)
 DEFAULT_EXCLUDE: Tuple[str, ...] = ("classifier",)
+
+# Convs with fewer input channels than this stay float: a 3-channel
+# stem (drn/mobilenet/xception route theirs through the Conv wrapper;
+# resnet's StemConv bypasses it) is lane-starved on the MXU — no int8
+# win — and the first layer is the most accuracy-sensitive.  Enforced
+# in BOTH calibrate() (never recorded) and _ConvImpl (never lowered,
+# even under hand-written scales).
+MIN_QUANT_IN_CH = 16
 
 
 def scale_for(path: Sequence[str]) -> Optional[float]:
@@ -121,7 +128,7 @@ def int8_conv(
     return (y.astype(jnp.float32) * (s_act * s_w)).astype(out_dtype)
 
 
-def _conv_interceptor(record_into, percentile: Optional[float]):
+def _conv_interceptor(percentile: Optional[float]):
     from zs3_tpu.models.layers import _ConvImpl
 
     def interceptor(next_fn, args, kwargs, context):
@@ -130,6 +137,7 @@ def _conv_interceptor(record_into, percentile: Optional[float]):
             isinstance(mod, _ConvImpl)
             and context.method_name == "__call__"
             and mod.feature_group_count == 1
+            and args[0].shape[-1] >= MIN_QUANT_IN_CH
         ):
             mag = jnp.abs(args[0].astype(jnp.float32))
             stat = (
@@ -147,7 +155,6 @@ def _conv_interceptor(record_into, percentile: Optional[float]):
                 reduce_fn=jnp.maximum,
                 init_fn=lambda: jnp.float32(0.0),
             )
-            record_into.append(tuple(mod.path))
         return next_fn(*args, **kwargs)
 
     return interceptor
@@ -180,16 +187,17 @@ def calibrate(
     from flax import traverse_util
 
     apply_kwargs = dict(apply_kwargs or {})
-    seen_paths: list = []
     absmax: Dict[PathKey, float] = {}
 
     @jax.jit
     def run(v, x):
-        with nn.intercept_methods(_conv_interceptor(seen_paths, percentile)):
+        with nn.intercept_methods(_conv_interceptor(percentile)):
             _, stats = apply_fn(
                 v, x, mutable=["quant_stats"], **apply_kwargs
             )
-        return stats["quant_stats"]
+        # empty when every conv is excluded structurally (grouped or
+        # lane-starved) — a legal, if pointless, calibration
+        return stats.get("quant_stats", {})
 
     for batch in batches:
         stats = jax.device_get(run(variables, jnp.asarray(batch)))
@@ -199,11 +207,46 @@ def calibrate(
             path = tuple(key[:-1])
             v = float(value[0]) if isinstance(value, tuple) else float(value)
             absmax[path] = max(absmax.get(path, 0.0), v)
+    return filter_excluded(absmax, exclude)
+
+
+def filter_excluded(
+    scales: Dict[PathKey, float], exclude: Sequence[str]
+) -> Dict[PathKey, float]:
+    """Drop every path whose 'a/b/c' form contains an exclude substring."""
     return {
         p: v
-        for p, v in absmax.items()
-        if not any(seg in p for seg in exclude)
+        for p, v in scales.items()
+        if not any(sub in "/".join(p) for sub in exclude)
     }
+
+
+def calibrate_from_batches(
+    apply_fn: Callable[..., Any],
+    variables: Dict[str, Any],
+    batch_iter: Iterable[np.ndarray],
+    *,
+    n_batches: int = 2,
+    apply_kwargs: Optional[Dict[str, Any]] = None,
+    percentile: Optional[float] = None,
+) -> Dict[PathKey, float]:
+    """calibrate() on the first `n_batches` drawn from `batch_iter`.
+
+    Shared by the trainers' --int8 eval paths (SeenTrainer and
+    GMMNTrainer pull their first val batches through this) so the
+    batch-budget and iteration logic live in one place."""
+    import itertools
+
+    batches = list(itertools.islice(iter(batch_iter), n_batches))
+    if not batches:
+        raise ValueError("int8 calibration: loader yielded no batches")
+    return calibrate(
+        apply_fn,
+        variables,
+        batches,
+        apply_kwargs=apply_kwargs,
+        percentile=percentile,
+    )
 
 
 def scales_to_json(scales: Dict[PathKey, float]) -> str:

@@ -555,15 +555,13 @@ class GMMNTrainer:
         from zs3_tpu import quant
 
         if getattr(self, "_int8_scales", None) is None:
-            batches = []
-            for batch in self.val_loader:
-                batches.append(self._device_batch(batch, eval=True)["image"])
-                if len(batches) >= 2:
-                    break
-            self._int8_scales = quant.calibrate(
+            self._int8_scales = quant.calibrate_from_batches(
                 self.model.apply,
                 self.trunk_variables,
-                batches,
+                (
+                    self._device_batch(b, eval=True)["image"]
+                    for b in self.val_loader
+                ),
                 apply_kwargs={"train": False, "method": "forward_features"},
                 percentile=self.cfg.train.int8_percentile,
             )
