@@ -219,7 +219,7 @@ def test_int8_eval_close_to_float(tmp_path):
         ),
         data=DataConfig(
             dataset="synthetic", crop_size=49, base_size=49,
-            batch_size=4, eval_batch_size=4,
+            batch_size=8, eval_batch_size=8,
         ),
         train=TrainConfig(
             epochs=0, checkpoint_dir=str(tmp_path / "f"), seed=7
@@ -314,3 +314,101 @@ def test_lane_starved_conv_stays_float():
     assert np.array_equal(np.asarray(y3_q), np.asarray(y3_float))
     assert not np.array_equal(np.asarray(y16_q), np.asarray(y16_float))
     assert np.allclose(y16_q, y16_float, atol=0.2)
+
+
+def test_path_excluded():
+    assert quant.path_excluded(("decoder", "classifier", "conv"))
+    assert quant.path_excluded(("x",), exclude=("x",))
+    assert not quant.path_excluded(("decoder", "refine", "conv"))
+
+
+def test_fake_quant_grid_and_ste():
+    """QAT operands land on the int8 grid and gradients pass straight
+    through both roundings (exact ones)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32) * 2.0)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 4)).astype(np.float32))
+    x_fq, w_fq = quant.fake_quant_conv_operands(x, k)
+
+    s_act = float(jnp.max(jnp.abs(x))) / 127.0
+    ratio_x = np.asarray(x_fq) / s_act
+    np.testing.assert_allclose(ratio_x, np.round(ratio_x), atol=1e-3)
+    s_w = np.maximum(np.abs(np.asarray(k)).max(axis=(0, 1, 2)), 1e-8) / 127.0
+    ratio_w = np.asarray(w_fq) / s_w
+    np.testing.assert_allclose(ratio_w, np.round(ratio_w), atol=1e-3)
+    # fake-quant is a sub-half-step perturbation (dynamic absmax: no
+    # saturation, rounding only)
+    assert float(jnp.max(jnp.abs(x_fq - x))) <= s_act * 0.5 + 1e-6
+
+    gx = jax.grad(lambda a: jnp.sum(quant.fake_quant_conv_operands(a, k)[0]))(x)
+    gk = jax.grad(lambda b: jnp.sum(quant.fake_quant_conv_operands(x, b)[1]))(k)
+    np.testing.assert_allclose(np.asarray(gx), 1.0)
+    np.testing.assert_allclose(np.asarray(gk), 1.0)
+
+
+def test_fake_quant_conv_matches_deployed_int8_conv():
+    """Given the same activation absmax, a float conv on fake-quantized
+    operands computes the same integer-grid products int8_conv does —
+    QAT trains on the deployment grid, not an approximation of it."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32))
+    absmax = float(jnp.max(jnp.abs(x)))
+
+    x_fq, w_fq = quant.fake_quant_conv_operands(x, k, absmax)
+    y_fq = jax.lax.conv_general_dilated(
+        x_fq, w_fq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y_int8 = quant.int8_conv(
+        x, k, absmax, (1, 1), ((1, 1), (1, 1)), (1, 1), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_fq), np.asarray(y_int8), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_qat_train_step_fake_quantizes_and_trains(tmp_path):
+    """TrainConfig.qat=True: the compiled train step carries the
+    fake-quant roundings (absent from the float step) and still trains
+    to a finite loss with moving parameters."""
+    from zs3_tpu.core.config import TrainConfig
+    from zs3_tpu.train.seen import SeenTrainer, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet50", num_classes=4,
+            compute_dtype="float32", dropout=False,
+        ),
+        data=DataConfig(
+            dataset="synthetic", crop_size=33, base_size=33,
+            batch_size=8, eval_batch_size=8,
+        ),
+        train=TrainConfig(
+            epochs=1, steps_per_epoch=2, checkpoint_dir=str(tmp_path),
+            qat=True, eval_interval=10**9,
+        ),
+    )
+    trainer = SeenTrainer(cfg)
+    batch = trainer._device_batch(next(iter(trainer.train_loader)))
+
+    txt_qat = trainer.train_step.lower(
+        trainer.state, batch, trainer.rng
+    ).as_text()
+    float_step = make_train_step(trainer.loss_fn, donate=False)
+    txt_float = float_step.lower(trainer.state, batch, trainer.rng).as_text()
+    n_qat = txt_qat.count("round_nearest_even")
+    n_float = txt_float.count("round_nearest_even")
+    # two roundings per eligible conv, though JAX dedups identical-shape
+    # lowerings into shared funcs (61 convs -> 37 textual rounds here);
+    # the float step has none at all
+    assert n_float == 0 and n_qat > 20, (n_qat, n_float)
+
+    params_before = jax.device_get(trainer.state.params)
+    stats = trainer.train_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    moved = jax.tree.map(
+        lambda a, b: not np.array_equal(a, jax.device_get(b)),
+        params_before, trainer.state.params,
+    )
+    assert any(jax.tree.leaves(moved))

@@ -46,6 +46,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="microbatches per optimizer step (train-seen): "
                         "batch-size stays the effective batch; activation "
                         "memory drops to batch-size/N per step")
+    p.add_argument("--qat", action="store_true", default=None,
+                   help="quantization-aware training (train-seen): convs "
+                        "train on fake-quantized int8-grid operands so the "
+                        "trunk survives int8 deployment (evaluate/infer/"
+                        "serve/export --int8) with less accuracy loss")
     p.add_argument("--epochs", type=int)
     p.add_argument("--steps-per-epoch", type=int)
     p.add_argument("--lr", type=float)
@@ -145,6 +150,7 @@ def build_config(args: argparse.Namespace) -> Config:
             epochs=args.epochs,
             steps_per_epoch=args.steps_per_epoch,
             grad_accum=args.grad_accum,
+            qat=args.qat,
             seed=args.seed,
             resume=args.resume,
             gmmn_resume=args.gmmn_resume,

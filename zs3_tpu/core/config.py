@@ -172,6 +172,13 @@ class TrainConfig:
     # the s8 x s8 MXU lowering — the one-flag way to measure the int8
     # deployment path's mIoU delta (`cli evaluate[-gmmn] --int8`).
     int8_eval: bool = False
+    # Quantization-aware training (train-seen): every PTQ-eligible conv
+    # trains on fake-quantized operands (int8 grid + straight-through
+    # gradients, zs3_tpu.quant.qat) so the trunk learns weights that
+    # survive the s8 x s8 deployment lowering.  Pair with int8_eval to
+    # validate the deployed behavior; the checkpoint stays a plain
+    # float checkpoint (fake-quant adds no parameters).
+    qat: bool = False
     # Percentile of |conv input| to calibrate int8 activation scales to
     # (e.g. 99.99) instead of the absolute max — clips activation
     # outliers so the bulk of the range keeps its 8-bit resolution.

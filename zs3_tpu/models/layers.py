@@ -78,15 +78,23 @@ class _ConvImpl(nn.Module):
         from zs3_tpu import quant
 
         act_scale = quant.scale_for(self.path)
-        if (
-            act_scale is not None
-            and self.feature_group_count == 1
+        quantizable = (
+            self.feature_group_count == 1
             and x.shape[-1] >= quant.MIN_QUANT_IN_CH
-        ):
+        )
+        if act_scale is not None and quantizable:
             y = quant.int8_conv(
                 x, kernel, act_scale, strides, pad, rhs_dil, self.dtype
             )
         else:
+            if (
+                quantizable
+                and quant.qat_active()
+                and not quant.path_excluded(self.path)
+            ):
+                # QAT: fake-quantize both operands onto the int8 grid
+                # (straight-through gradients), then run the float conv.
+                x, kernel = quant.fake_quant_conv_operands(x, kernel)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),

@@ -49,6 +49,10 @@ _ACTIVE: contextvars.ContextVar[Optional[Dict[PathKey, float]]] = (
     contextvars.ContextVar("zs3_quant_scales", default=None)
 )
 
+_QAT: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "zs3_qat", default=False
+)
+
 # Paths containing any of these substrings never quantize: the
 # classifier conv emits the logits the zero-shot pipeline retrains and
 # compares in f32.  (Depthwise/grouped convs fall back to float via the
@@ -89,6 +93,76 @@ def quantized(scales: Dict[Any, float]):
         yield
     finally:
         _ACTIVE.reset(token)
+
+
+@contextlib.contextmanager
+def qat():
+    """Enable quantization-aware training while tracing a train step.
+
+    Inside this context every quantization-eligible conv (same
+    eligibility as PTQ: ungrouped, >= MIN_QUANT_IN_CH input channels,
+    path not excluded) runs on FAKE-QUANTIZED operands — both the input
+    and the kernel are rounded onto the int8 grid and dequantized, with
+    straight-through gradients — so the weights learn to sit well on
+    the grid the deployed int8_conv will snap them to.  Like
+    quantized(), this is a TRACE-time switch: enter it inside (or
+    around) the traced function body, e.g. the train step's loss fn
+    (train/seen.py wires `TrainConfig.qat` this way).
+    """
+    token = _QAT.set(True)
+    try:
+        yield
+    finally:
+        _QAT.reset(token)
+
+
+def qat_active() -> bool:
+    return _QAT.get()
+
+
+def path_excluded(
+    path: Sequence[str], exclude: Sequence[str] = DEFAULT_EXCLUDE
+) -> bool:
+    """True if the module path's 'a/b/c' form contains an exclude
+    substring (same rule filter_excluded applies to calibrations)."""
+    joined = "/".join(path)
+    return any(sub in joined for sub in exclude)
+
+
+def fake_quant_conv_operands(
+    x: jax.Array,
+    kernel: jax.Array,
+    act_absmax: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize-dequantize conv operands onto the int8 grid (QAT).
+
+    Activation: per-tensor symmetric; the scale comes from `act_absmax`
+    when given (calibrated QAT) else the batch's own |x| max (dynamic
+    QAT, the training default — nothing saturates, so the only training
+    signal is the rounding).  Kernel: per-output-channel symmetric —
+    exactly the grid int8_conv snaps to at deployment.  The grid math
+    runs in f32 so grid points are exact regardless of compute dtype,
+    and gradients pass straight through both roundings
+    (y = x + stop_grad(q(x) - x)), the standard STE.
+    """
+    xf = x.astype(jnp.float32)
+    amax = (
+        jax.lax.stop_gradient(jnp.max(jnp.abs(xf)))
+        if act_absmax is None
+        else jnp.float32(act_absmax)
+    )
+    s_act = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_act), -127.0, 127.0) * s_act
+    x_fq = (xf + jax.lax.stop_gradient(xq - xf)).astype(x.dtype)
+
+    kf = kernel.astype(jnp.float32)
+    w_absmax = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8)
+    )
+    s_w = w_absmax / 127.0
+    wq = jnp.clip(jnp.round(kf / s_w), -127.0, 127.0) * s_w
+    w_fq = (kf + jax.lax.stop_gradient(wq - kf)).astype(kernel.dtype)
+    return x_fq, w_fq
 
 
 def int8_conv(

@@ -43,6 +43,7 @@ def make_train_step(
     out_shardings=None,
     grad_accum: int = 1,
     mesh=None,
+    qat: bool = False,
 ):
     """jit-compiled supervised train step.
 
@@ -88,6 +89,10 @@ def make_train_step(
             images, labels = batched_random_flip_device(images, labels, flip_rng)
 
         def micro_loss(params, stats, images, labels, drop_rng):
+            import contextlib
+
+            from zs3_tpu import quant
+
             variables = {"params": params, "batch_stats": stats}
             kwargs = dict(
                 train=True,
@@ -95,6 +100,16 @@ def make_train_step(
                 rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
+            # TRACE-time switch: this body runs while jit traces, so
+            # entering qat() here makes every eligible conv emit
+            # fake-quant ops into the compiled step.
+            qat_ctx = quant.qat() if qat else contextlib.nullcontext()
+            with qat_ctx:
+                return _micro_loss_body(
+                    params, stats, images, labels, variables, kwargs
+                )
+
+        def _micro_loss_body(params, stats, images, labels, variables, kwargs):
             if loss_at == "feature":
                 # loss at the os4 grid: labels downsample (nearest), the
                 # 513^2 x C logits chain never exists.
@@ -291,6 +306,7 @@ class SeenTrainer:
             cfg.optim.loss_at,
             grad_accum=cfg.train.grad_accum,
             mesh=self.mesh,
+            qat=cfg.train.qat,
         )
         if tuple(cfg.train.eval_scales) != (1.0,) or cfg.train.eval_flip:
             # ms+flip TTA (DeepLab-lineage reporting mode; reference is
