@@ -13,6 +13,7 @@ real-data path cannot hide:
   train-seen   (unseen filter, SBD union, poly LR, --ft init)
   train-gmmn   (--unseen-split 2, fused GMMN step, harmonic-best ckpt)
   train-zs5    (pseudo-labeling + weak-label retrain)
+  train-seen --qat + evaluate --int8   (QAT fine-tune -> int8 protocol)
   evaluate-gmmn --eval-scales ... --eval-flip   (TTA path)
   export --resume ... --gmmn-resume ...         (zero-shot artifact)
   serve        (HTTP server, letterbox geometry, non-square request)
@@ -133,7 +134,10 @@ def rehearse(
         seen_ckpt = best_or_latest(run_dir, "pascal", "rehearsal")
 
     with stage("train-gmmn"):
-        run_cli(["train-gmmn", "--resume", seen_ckpt] + common)
+        # --int8-features: frozen-trunk feature extraction runs s8 x s8
+        # inside the fused step (the stage's dominant cost)
+        run_cli(["train-gmmn", "--resume", seen_ckpt, "--int8-features"]
+                + common)
         gmmn_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-gmmn")
 
     with stage("train-zs5"):
@@ -149,6 +153,15 @@ def rehearse(
         # the int8 deployment path through the same protocol: calibrates
         # on the first val batches, validates with s8 x s8 MXU convs
         run_cli(["evaluate", "--int8", "--resume", seen_ckpt] + common)
+
+    with stage("qat-finetune+int8"):
+        # quantization-aware fine-tune of the trunk (fake-quant convs,
+        # straight-through gradients), then the int8 deployment protocol
+        # on the QAT checkpoint — the --qat -> --int8 product path
+        run_cli(["train-seen", "--qat", "--resume", seen_ckpt, "--ft"]
+                + common + ["--checkname", "rehearsal-qat"])
+        qat_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-qat")
+        run_cli(["evaluate", "--int8", "--resume", qat_ckpt] + common)
 
     with stage("evaluate-gmmn+tta"):
         run_cli(["evaluate-gmmn", "--resume", seen_ckpt,

@@ -86,6 +86,6 @@ def test_release_rehearsal_cli_chain(tmp_path):
     # every stage ran (timings only record completed stages)
     assert set(summary["stage_seconds"]) == {
         "fabricate", "convert-weights", "train-seen", "train-gmmn",
-        "train-zs5", "evaluate", "evaluate-int8", "evaluate-gmmn+tta",
-        "export", "serve",
+        "train-zs5", "evaluate", "evaluate-int8", "qat-finetune+int8",
+        "evaluate-gmmn+tta", "export", "serve",
     }

@@ -246,3 +246,31 @@ def test_gmmn_resume_roundtrip(zs3_cfg):
     a = jax.tree.leaves(jax.device_get(t.cls_state.params))[0]
     b = jax.tree.leaves(jax.device_get(t2.cls_state.params))[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_gmmn_int8_features_step(zs3_cfg):
+    """--int8-features: the fused GMMN step extracts frozen-trunk
+    features with s8 x s8 convs (i8 operands visible in the lowered
+    program; absent without the flag) and still trains to finite
+    losses.  Calibration is shared with int8_eval."""
+    import dataclasses
+
+    cfg = zs3_cfg.replace(
+        train=dataclasses.replace(zs3_cfg.train, int8_features=True)
+    )
+    t = GMMNTrainer(cfg)
+    assert t._int8_scales, "trunk calibration should run at construction"
+
+    batch = t._device_batch(next(iter(t.train_loader)))
+    lower_args = (
+        t.gen_state, t.cls_state, t.trunk_variables, t.embeddings,
+        batch, t.rng,
+    )
+    assert "xi8>" in t.step_fn.lower(*lower_args).as_text()
+
+    t_float = GMMNTrainer(zs3_cfg)
+    assert "xi8>" not in t_float.step_fn.lower(*lower_args).as_text()
+
+    stats = t.train_epoch(0)
+    assert np.isfinite(stats["mmd"]) and np.isfinite(stats["cls_ce"])

@@ -182,7 +182,14 @@ def main(argv=None):
     ):
         p = sub.add_parser(name)
         _add_common(p)
-        if name in ("evaluate", "evaluate-gmmn", "infer", "serve", "export"):
+        if name in ("train-gmmn", "train-zs5"):
+            p.add_argument("--int8-features", action="store_true",
+                           help="extract frozen-trunk features with int8 "
+                                "MXU convs inside the fused train step "
+                                "(~1.4x on the stage's dominant cost; "
+                                "trunk is gradient-free here)")
+        if name in ("evaluate", "evaluate-gmmn", "infer", "serve", "export",
+                    "train-gmmn", "train-zs5"):
             p.add_argument("--int8-percentile", type=float, default=None,
                            metavar="P",
                            help="calibrate int8 activation scales to this "
@@ -283,6 +290,10 @@ def main(argv=None):
             train=dataclasses.replace(
                 cfg.train, int8_percentile=args.int8_percentile
             )
+        )
+    if getattr(args, "int8_features", None):
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, int8_features=True)
         )
 
     if getattr(args, "auto_resume", None):

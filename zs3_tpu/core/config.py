@@ -182,8 +182,15 @@ class TrainConfig:
     # Percentile of |conv input| to calibrate int8 activation scales to
     # (e.g. 99.99) instead of the absolute max — clips activation
     # outliers so the bulk of the range keeps its 8-bit resolution.
-    # None = absmax.  Only read when int8_eval.
+    # None = absmax.  Read when int8_eval or int8_features.
     int8_percentile: Optional[float] = None
+    # GMMN/ZS5 stages: extract frozen-trunk features with int8 MXU convs
+    # INSIDE the fused train step (`train-gmmn/train-zs5
+    # --int8-features`).  The trunk is frozen and gradient-free there,
+    # so this is pure inference acceleration (~1.4x measured on the
+    # forward path) applied to the stage's dominant cost; scales
+    # calibrate once from the first val batches.
+    int8_features: bool = False
     # Test-time augmentation for validation: average softmax probs over
     # these input scales (+ horizontal mirror when eval_flip).  Defaults
     # reproduce the reference's single-scale protocol; (0.5, 0.75, 1.0,

@@ -151,8 +151,15 @@ def make_zs3_step(
     unseen_mask: jax.Array,
     graph_context: bool,
     donate: bool = True,
+    int8_scales: Optional[Dict] = None,
 ):
-    """One fused jit step: features -> sample -> gen MMD update -> cls CE update."""
+    """One fused jit step: features -> sample -> gen MMD update -> cls CE update.
+
+    `int8_scales` (calibrated trunk activation absmaxes) runs the frozen
+    trunk's feature extraction with s8 x s8 MXU convs inside the same
+    fused program — the trunk is gradient-free here, so this is pure
+    inference acceleration of the step's dominant cost.
+    """
     budget = cfg.gmmn.pixels_per_class
     noise_dim = cfg.gmmn.noise_dim
     sigmas = cfg.gmmn.mmd_sigmas
@@ -212,10 +219,22 @@ def make_zs3_step(
             images, batch_labels = batched_random_flip_device(
                 images, batch_labels, r_flip
             )
-        # 1. frozen-trunk feature extraction (eval-mode BN, no dropout)
-        feats = model.apply(
-            trunk_variables, images, train=False, method="forward_features"
+        # 1. frozen-trunk feature extraction (eval-mode BN, no dropout);
+        # trace-time quantized() context, same mechanism as the eval/
+        # serve surfaces (zs3_tpu.quant module docstring)
+        import contextlib
+
+        from zs3_tpu import quant
+
+        int8_ctx = (
+            quant.quantized(int8_scales)
+            if int8_scales
+            else contextlib.nullcontext()
         )
+        with int8_ctx:
+            feats = model.apply(
+                trunk_variables, images, train=False, method="forward_features"
+            )
         b, h, w, d = feats.shape
         labels = downsample_labels(batch_labels, (h, w))
         flat_feats = feats.reshape(-1, d).astype(jnp.float32)
@@ -469,6 +488,9 @@ class GMMNTrainer:
             self.unseen_mask,
             cfg.gmmn.graph_context,
             donate=cfg.train.donate_state,
+            int8_scales=(
+                self._trunk_int8_scales() if cfg.train.int8_features else None
+            ),
         )
         if tuple(cfg.train.eval_scales) != (1.0,) or cfg.train.eval_flip:
             from zs3_tpu.metrics.tta import make_tta_eval_step
@@ -543,15 +565,11 @@ class GMMNTrainer:
         self.logger.log(int(jax.device_get(self.gen_state.step)), stats, prefix="train")
         return stats
 
-    def _int8_eval_ctx(self):
-        """int8 validation (cfg.train.int8_eval): calibrate the trunk's
-        conv activations (classifier is excluded by design — it is the
-        retrained zero-shot head under evaluation) and run the eval jits
-        quantized.  Mirrors SeenTrainer._int8_eval_ctx."""
-        import contextlib
-
-        if not self.cfg.train.int8_eval:
-            return contextlib.nullcontext()
+    def _trunk_int8_scales(self):
+        """Calibrated trunk conv-input absmaxes (classifier excluded by
+        design — it is the retrained zero-shot head).  Computed once
+        from the first val batches; shared by int8_features (quantized
+        feature extraction inside the train step) and int8_eval."""
         from zs3_tpu import quant
 
         if getattr(self, "_int8_scales", None) is None:
@@ -565,7 +583,18 @@ class GMMNTrainer:
                 apply_kwargs={"train": False, "method": "forward_features"},
                 percentile=self.cfg.train.int8_percentile,
             )
-        return quant.quantized(self._int8_scales)
+        return self._int8_scales
+
+    def _int8_eval_ctx(self):
+        """quantized() context for validation when cfg.train.int8_eval.
+        Mirrors SeenTrainer._int8_eval_ctx."""
+        import contextlib
+
+        if not self.cfg.train.int8_eval:
+            return contextlib.nullcontext()
+        from zs3_tpu import quant
+
+        return quant.quantized(self._trunk_int8_scales())
 
     def validate(self, epoch: int) -> Dict[str, float]:
         evaluator = Evaluator(
