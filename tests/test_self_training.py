@@ -212,3 +212,22 @@ def test_gt_view_undoes_weak_label_override(tmp_path):
 
     u = FakeUnion(FakeVOC())
     assert _gt_view(u)[0]["label"] == "gt"
+
+
+@pytest.mark.slow
+def test_zs5_int8_features_pseudo_label_and_step(zs5_cfg):
+    """--int8-features in the ZS5 stage: pseudo-labeling AND the fused
+    retrain step both run with quantized trunk convs (inherited from
+    GMMNTrainer; the retrained classifier stays float by the exclusion
+    rule) and produce a working chain."""
+    import dataclasses
+
+    cfg = zs5_cfg.replace(
+        train=dataclasses.replace(zs5_cfg.train, int8_features=True)
+    )
+    t = ZS5Trainer(cfg)
+    assert t._int8_scales, "trunk calibration at construction"
+    n = t.pseudo_label()
+    assert n > 0 and len(os.listdir(t.pseudo_dir)) == n
+    stats = t.train_epoch(0)
+    assert np.isfinite(stats["mmd"]) and np.isfinite(stats["cls_ce"])

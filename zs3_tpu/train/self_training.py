@@ -257,16 +257,31 @@ class ZS5Trainer(GMMNTrainer):
 
     def pseudo_label(self) -> int:
         """Run stage A with the current (trunk + retrained-classifier)
-        network over the train set."""
+        network over the train set.
+
+        Under --int8-features the labeling forward runs s8 x s8 too
+        (pure inference; the retrained classifier stays float by the
+        exclusion rule) — the context wraps the whole pass, so the
+        step's first-call trace lands inside it."""
+        import contextlib
+
+        from zs3_tpu import quant
+
         variables = splice_classifier(self.trunk_variables, self.cls_state.params)
         base = _gt_view(self.train_loader.dataset)
-        return generate_pseudo_labels(
-            self.model,
-            variables,
-            base,
-            self.unseen,
-            self.pseudo_dir,
-            size=self.cfg.data.crop_size,
-            ignore_index=self.cfg.data.ignore_index,
-            confidence=self.cfg.gmmn.pseudo_confidence,
+        int8_ctx = (
+            quant.quantized(self._trunk_int8_scales())
+            if self.cfg.train.int8_features
+            else contextlib.nullcontext()
         )
+        with int8_ctx:
+            return generate_pseudo_labels(
+                self.model,
+                variables,
+                base,
+                self.unseen,
+                self.pseudo_dir,
+                size=self.cfg.data.crop_size,
+                ignore_index=self.cfg.data.ignore_index,
+                confidence=self.cfg.gmmn.pseudo_confidence,
+            )
