@@ -274,3 +274,13 @@ def test_gmmn_int8_features_step(zs3_cfg):
 
     stats = t.train_epoch(0)
     assert np.isfinite(stats["mmd"]) and np.isfinite(stats["cls_ce"])
+
+    # train/eval consistency: with int8_features the classifier was
+    # retrained against int8-computed features, so validation runs
+    # quantized too (no int8_eval flag needed)
+    from zs3_tpu import quant
+
+    with t._int8_eval_ctx():
+        assert quant.scale_for(next(iter(t._int8_scales))) is not None
+    report = t.validate(0)
+    assert "harmonic_miou" in report

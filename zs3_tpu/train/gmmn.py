@@ -586,11 +586,14 @@ class GMMNTrainer:
         return self._int8_scales
 
     def _int8_eval_ctx(self):
-        """quantized() context for validation when cfg.train.int8_eval.
-        Mirrors SeenTrainer._int8_eval_ctx."""
+        """quantized() context for validation when cfg.train.int8_eval —
+        or when int8_features trained the classifier against
+        int8-computed features, in which case evaluating float would
+        measure a trunk the classifier never saw.  Mirrors
+        SeenTrainer._int8_eval_ctx otherwise."""
         import contextlib
 
-        if not self.cfg.train.int8_eval:
+        if not (self.cfg.train.int8_eval or self.cfg.train.int8_features):
             return contextlib.nullcontext()
         from zs3_tpu import quant
 
