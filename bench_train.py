@@ -166,6 +166,44 @@ def main():
     dt = _timed(d_zs3, lambda r: float(r))
     results["zs3_step_images_per_sec"] = bt / dt
 
+    # --- fused ZS3 step with --int8-features: the frozen-trunk forward
+    # runs s8 x s8 on the MXU.  Scale VALUES don't affect throughput,
+    # so fake absmax=6.0 per conv stands in for calibration (same
+    # convention as bench.py's int8 serving probe).
+    from flax import traverse_util
+
+    scales = {
+        tuple(k[:-1]): 6.0
+        for k in traverse_util.flatten_dict(eval_state.params)
+        if k[-2:] == ("conv", "kernel") and "classifier" not in k
+    }
+    zs3_q_step = make_zs3_step(
+        model, gen, cfg, 21, unseen, False, donate=True, int8_scales=scales
+    )
+    gv2 = gen.init(jax.random.key(6), jnp.zeros((1, 300)), jnp.zeros((1, 300)))
+    zs3_q_holder = {
+        "g": GenState.create(
+            apply_fn=gen.apply, params=gv2["params"], tx=optax.adam(1e-3)
+        ),
+        # copy the LIVE post-timing cls params: the float step's donation
+        # consumed the original extract_classifier buffers
+        "c": ClsState.create(
+            apply_fn=None,
+            params=jax.tree.map(jnp.array, zs3_holder["c"].params),
+            tx=optax.adam(1e-2),
+        ),
+    }
+
+    def d_zs3_q(i):
+        zs3_q_holder["g"], zs3_q_holder["c"], out = zs3_q_step(
+            zs3_q_holder["g"], zs3_q_holder["c"], trunk, emb,
+            {"image": img, "label": lbl}, jax.random.key(7),
+        )
+        return out["mmd"]
+
+    dt = _timed(d_zs3_q, lambda r: float(r))
+    results["zs3_step_int8_images_per_sec"] = bt / dt
+
     for name, value in results.items():
         line = {
             "metric": f"{name}_{backbone}_{size}",
