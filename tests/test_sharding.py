@@ -91,3 +91,51 @@ def test_batch_stats_are_global_under_sharding(mesh8):
     s8, _ = step(replicate(state, mesh8), shard_batch(batch, mesh8), jax.random.key(1))
     for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_int8_eval_runs_under_mesh(mesh8):
+    """PTQ eval composes with data-parallel sharding.
+
+    The trace-time quantized() context lowers eligible convs to
+    s8 x s8 -> s32 regardless of input shardings; the lowering assert
+    keeps the test non-vacuous (a scale-key mismatch silently runs
+    float), and int8-vs-float agreement on identical inputs pins that
+    quantization under the mesh matches the single-device contract
+    (tests/test_quant.py owns the accuracy bars)."""
+    from flax import traverse_util
+
+    from zs3_tpu import quant
+    from zs3_tpu.train.gmmn import extract_classifier, make_zs3_eval_step
+
+    state, batch = _tiny_state_and_batch(mesh8)
+    model = DeepLab(
+        backbone="resnet50", num_classes=3, dropout=False, dtype=jnp.float32
+    )
+    trunk = {"params": state.params, "batch_stats": state.batch_stats}
+    cls_params = extract_classifier(trunk)
+    scales = quant.calibrate(
+        model.apply, trunk, [batch["image"]], apply_kwargs={"train": False}
+    )
+    assert scales
+
+    trunk_rep = replicate(trunk, mesh8)
+    cls_rep = replicate(cls_params, mesh8)
+    dev_batch = shard_batch(batch, mesh8)
+
+    q_eval = make_zs3_eval_step(model, 3, 255)
+    with quant.quantized(scales):
+        lowered = q_eval.lower(trunk_rep, cls_rep, dev_batch)
+        assert "xi8>" in lowered.as_text()
+        conf_q = jax.device_get(q_eval(trunk_rep, cls_rep, dev_batch))
+    n_px = batch["label"].size
+    assert conf_q.shape == (3, 3) and int(conf_q.sum()) == n_px
+
+    # Float reference on the same sharded inputs: with calibrated
+    # scales the quantized confusion matrix must be nearly identical
+    # (test_quant.py measures ~0.98 argmax agreement on random init).
+    f_eval = make_zs3_eval_step(model, 3, 255)
+    conf_f = jax.device_get(f_eval(trunk_rep, cls_rep, dev_batch))
+    assert int(conf_f.sum()) == n_px
+    moved = np.abs(conf_q.astype(np.int64) - conf_f.astype(np.int64)).sum()
+    assert moved / n_px < 0.2, f"int8 moved {moved / n_px:.3f} of pixels"
