@@ -124,3 +124,22 @@ def test_accumulated_step_runs_sharded(mesh8):
     new_state, out = step(state, dev_batch, jax.random.key(1))
     assert np.isfinite(float(out["loss"]))
     assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
+def test_qat_composes_with_grad_accum():
+    """--qat inside --grad-accum: the fake-quant roundings live inside
+    micro_loss, so they must appear in the scanned step's lowering and
+    the step must still train to a finite loss.  (A regression that
+    entered the qat() context outside the scan body would silently
+    train float microbatches.)"""
+    state, batch = _tiny_state_and_batch(batch=8)
+    step = make_train_step(
+        build_seg_loss("ce"), donate=False, grad_accum=2, qat=True
+    )
+    txt = step.lower(state, batch, jax.random.key(1)).as_text()
+    assert txt.count("round_nearest_even") > 20
+
+    new_state, out = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(out["loss"]))
+    assert int(new_state.step) == 1
