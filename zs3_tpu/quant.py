@@ -83,10 +83,18 @@ def quantized(scales: Dict[Any, float]):
 
     Keys may be path tuples or 'a/b/c' strings; values are calibrated
     input ABSMAX (not the scale itself).  Must wrap jit tracing.
+
+    DEFAULT_EXCLUDE is enforced HERE as well as in calibrate(): a
+    hand-written or scales_from_json-loaded dict containing a
+    'classifier' path is dropped at context entry, so the
+    logits-producing conv can never run s8 regardless of where the
+    scales came from.
     """
     norm: Dict[PathKey, float] = {}
     for k, v in scales.items():
         key = tuple(k.split("/")) if isinstance(k, str) else tuple(k)
+        if path_excluded(key):
+            continue
         norm[key] = float(v)
     token = _ACTIVE.set(norm)
     try:

@@ -31,8 +31,14 @@ and uint8-to-device + on-device normalization raised loaded
 throughput 6.5 -> 8.3 req/s on a 1-CORE host, where the per-request
 PNG decode/encode is the remaining bottleneck; with normal host
 parallelism the forward is the bottleneck batching removes.
-Otherwise the device is serialized behind a lock.  Scale-out is N
-processes behind any load balancer, one chip each.
+Otherwise the device is serialized behind a lock (the micro-batch
+worker shares the same lock, so ?sliding=1 requests and batched
+forwards never interleave device work).  Note: the sliding-window
+program compiles lazily on the FIRST ?sliding=1 request (warmup only
+compiles the fixed-crop forward) — deliberate, since eagerly compiling
+a possibly-unused program would add minutes of startup through a
+remote-compile relay.  Scale-out is N processes behind any load
+balancer, one chip each.
 """
 
 from __future__ import annotations
@@ -62,12 +68,10 @@ class ArtifactPredictor:
     """
 
     def __init__(self, artifact_path: str):
-        import json as _json
-
         from zs3_tpu.export import load_exported
 
         with open(artifact_path + ".json") as f:
-            self.manifest = _json.load(f)
+            self.manifest = json.load(f)
         if self.manifest.get("emit", "labels") != "labels":
             raise ValueError(
                 "serving needs a labels artifact; this one emits "
@@ -110,13 +114,19 @@ class _MicroBatcher:
     fixed `max_batch` jit shape (one compilation serves every size).
     """
 
-    def __init__(self, predictor, max_batch: int):
+    def __init__(self, predictor, max_batch: int, device_lock=None):
+        import collections
         import queue
 
         self.predictor = predictor
         self.max_batch = max_batch
         self.queue: "queue.Queue" = queue.Queue()
-        self.batch_sizes: list = []  # observability (exposed in /info)
+        # observability (exposed in /info); bounded so a long-running
+        # server doesn't grow one int per batch group forever
+        self.batch_sizes = collections.deque(maxlen=100)
+        # shared with the service's ?sliding=1 path so ALL device work
+        # stays serialized behind one lock
+        self._device_lock = device_lock or threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -145,7 +155,8 @@ class _MicroBatcher:
                 # pad to the fixed jit batch so one compilation serves
                 # every group size
                 padded = images + [images[0]] * (self.max_batch - len(images))
-                preds = self.predictor.predict_batch(padded)[: len(images)]
+                with self._device_lock:
+                    preds = self.predictor.predict_batch(padded)[: len(images)]
                 self.batch_sizes.append(len(images))
                 for (_, done, slot), pred in zip(group, preds):
                     slot["result"] = pred
@@ -171,6 +182,19 @@ class SegmentationService:
         self.cfg = cfg
         self.batcher: Optional[_MicroBatcher] = None
         self.int8_convs = 0
+        self._lock = threading.Lock()
+        # Validate argument combinations BEFORE the expensive loads.
+        if artifact and serve_batch > 1:
+            raise ValueError(
+                "--serve-batch needs a live checkpoint predictor; an "
+                "exported artifact has a fixed baked-in batch size"
+            )
+        if artifact and int8_calib_images:
+            raise ValueError(
+                "int8 calibration applies to a live checkpoint predictor; "
+                "an exported artifact's numerics are baked in (pass --int8 "
+                "to `export` instead)"
+            )
         if artifact:
             self.predictor = ArtifactPredictor(artifact)
             # the artifact is self-describing; surface its true shape
@@ -203,15 +227,11 @@ class SegmentationService:
                     calib, percentile=cfg.train.int8_percentile
                 )
             if serve_batch > 1:
-                self.batcher = _MicroBatcher(self.predictor, serve_batch)
-        if serve_batch > 1 and artifact:
-            raise ValueError(
-                "--serve-batch needs a live checkpoint predictor; an "
-                "exported artifact has a fixed baked-in batch size"
-            )
+                self.batcher = _MicroBatcher(
+                    self.predictor, serve_batch, device_lock=self._lock
+                )
         self.serve_batch = serve_batch
         self.source = "artifact" if artifact else "checkpoint"
-        self._lock = threading.Lock()
         self.warm = False
 
     def warmup(self):
@@ -263,7 +283,7 @@ class SegmentationService:
             "int8_convs": self.int8_convs,
             "serve_batch": self.serve_batch,
             "recent_batch_sizes": (
-                self.batcher.batch_sizes[-20:] if self.batcher else []
+                list(self.batcher.batch_sizes)[-20:] if self.batcher else []
             ),
         }
 
@@ -298,7 +318,11 @@ def _make_handler(service: SegmentationService):
             opts = dict(
                 kv.split("=", 1) for kv in query.split("&") if "=" in kv
             )
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "malformed Content-Length header"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body; POST image bytes"})
                 return

@@ -634,7 +634,12 @@ class GMMNTrainer:
         validated = False
         for epoch in range(self.cfg.train.epochs):
             stats = self.train_epoch(epoch)
-            validated = (epoch + 1) % self.cfg.train.eval_interval == 0
+            # eval_interval <= 0 means "never validate" (like --no-val)
+            # rather than a ZeroDivisionError after the first epoch.
+            validated = (
+                self.cfg.train.eval_interval > 0
+                and (epoch + 1) % self.cfg.train.eval_interval == 0
+            )
             if validated:
                 report = self.validate(epoch)
         if self.cfg.train.epochs and not validated:

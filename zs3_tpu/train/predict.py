@@ -95,15 +95,31 @@ class Predictor:
         994 vs 701 img/s at B128 — see zs3_tpu.quant).
 
         calib_images: representative uint8 HWC arrays (any sizes; they
-        letterbox exactly like inference inputs).  `percentile` (e.g.
-        99.99) clips activation outliers instead of calibrating to the
-        absolute max — see zs3_tpu.quant.calibrate.  Returns the number
-        of quantized convs.
+        letterbox exactly like inference inputs).  At most
+        `calib_batch * max_batches` images (32 by default) are used —
+        absmax statistics saturate quickly, and each extra batch is a
+        full device forward; a larger set warns rather than silently
+        narrowing to a prefix.  `percentile` (e.g. 99.99) clips
+        activation outliers instead of calibrating to the absolute max
+        — see zs3_tpu.quant.calibrate.  Returns the number of
+        quantized convs.
         """
         from zs3_tpu import quant
         from zs3_tpu.data.transforms import batched_normalize_device
 
         size = self.cfg.data.crop_size
+        calib_images = list(calib_images)
+        cap = calib_batch * max_batches
+        if len(calib_images) > cap:
+            import warnings
+
+            warnings.warn(
+                f"quantize(): using the first {cap} of "
+                f"{len(calib_images)} calibration images "
+                f"(raise max_batches to use more)",
+                stacklevel=2,
+            )
+            calib_images = calib_images[:cap]
         canvases = [
             letterbox_image(img, size)[0] for img in calib_images
         ]

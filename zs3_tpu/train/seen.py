@@ -427,8 +427,11 @@ class SeenTrainer:
                     self.state, self._device_batch(batch, eval=True)
                 )
                 evaluator.add_confusion(conf)
-        if self.cfg.train.tensorboard and panel_batch is not None:
-            self._log_panels(panel_batch)
+            if self.cfg.train.tensorboard and panel_batch is not None:
+                # inside the int8 ctx: _panel_predict traces on first
+                # use, so under int8_eval the logged prediction panels
+                # show the SAME quantized model the metrics measure
+                self._log_panels(panel_batch)
         report = evaluator.compute()
         self.logger.log(
             int(jax.device_get(self.state.step)), report.as_dict(), prefix="val"
@@ -491,7 +494,12 @@ class SeenTrainer:
         validated = False
         for epoch in range(self.cfg.train.epochs):
             stats = self.train_epoch(epoch)
-            validated = (epoch + 1) % self.cfg.train.eval_interval == 0
+            # eval_interval <= 0 means "never validate" (like --no-val)
+            # rather than a ZeroDivisionError after the first epoch.
+            validated = (
+                self.cfg.train.eval_interval > 0
+                and (epoch + 1) % self.cfg.train.eval_interval == 0
+            )
             if validated:
                 last_report = self.validate(epoch)
         if self.cfg.train.epochs and not validated:
