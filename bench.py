@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -42,6 +43,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Fallback sustained ceiling (judge-reproduced 181.7 TF/s on this chip;
 # see DESIGN.md §4-5) used only when the probe below fails.
 FALLBACK_SUSTAINED_TFS = 184.0
+
+# First honest measurement of this rebuild (v5e, B32, serial forcing) —
+# the fixed denominator so vs_baseline tracks optimization progress.
+# (The reference published no throughput numbers; BASELINE.json's target
+# is empirical speed-of-light.)
+DEFAULT_BASELINE = 365.254
 
 # Chained bf16 8192³ matmuls — the same probe the round-2 judge used to
 # confirm the ceiling.  Each timed call takes a distinct shift (relay
@@ -101,6 +108,74 @@ def measure_sustained_ceiling() -> tuple:
     return FALLBACK_SUSTAINED_TFS, "fallback"
 
 
+# --- Hard-deadline safety net -------------------------------------------
+# The relay's remote-compile service can wedge (queued compiles survive
+# client kills — DESIGN.md §5): a blocked first compile means the soft
+# deadline below never even gets checked, the driver's outer timeout kills
+# the process, and the round records NO bench line at all.  Two guards:
+#   1. a tiny-jit liveness probe (subprocess, bounded) before the first
+#      expensive compile — on a wedged relay we emit a degraded record in
+#      minutes instead of hanging;
+#   2. a watchdog timer that emits whatever partial result exists and
+#      hard-exits if the main thread is stuck inside a blocking RPC.
+# Both emit through the same once-only gate so exactly one JSON line is
+# ever printed.
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_PARTIAL = {
+    "metric": "deeplabv3plus_resnet101_fwd_513_images_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "images/sec",
+    "vs_baseline": 0.0,
+}
+
+
+def _emit(record: dict) -> bool:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+        print(json.dumps(record), flush=True)
+        return True
+
+
+def _start_watchdog() -> None:
+    hard = float(os.environ.get("BENCH_HARD_DEADLINE_S", "1800"))
+
+    def fire():
+        rec = dict(_PARTIAL)
+        rec["error"] = (
+            f"hard deadline {hard:.0f}s hit (relay stalled); "
+            "value is the best measurement completed before the stall"
+        )
+        if _emit(rec):
+            os._exit(0)  # main thread may be stuck in a C-level RPC
+
+    t = threading.Timer(hard, fire)
+    t.daemon = True
+    t.start()
+
+
+def _relay_alive(timeout_s: float) -> bool:
+    """Tiny jit round-trip in a bounded subprocess: proves the relay can
+    compile + execute at all before we commit to a minutes-long compile."""
+    import subprocess
+
+    src = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: jnp.sum(x * 2.0))(jnp.ones((256, 256)))))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", src],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return out.returncode == 0 and out.stdout.strip() != ""
+    except Exception:
+        return False
+
+
 def main():
     from zs3_tpu.models.deeplab import DeepLab
 
@@ -118,6 +193,15 @@ def main():
     # instead of producing NO output (the driver runs this under a hard
     # timeout): batches/probe are skipped once exceeded.
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+    _start_watchdog()
+    on_tpu_early = dev.platform != "cpu"
+    if on_tpu_early and not _relay_alive(
+        float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
+    ):
+        rec = dict(_PARTIAL)
+        rec["error"] = "relay liveness probe timed out; no measurement possible"
+        _emit(rec)
+        return
     # Zero-weight init via eval_shape: weight VALUES are irrelevant to
     # throughput (the MXU runs zeros at full rate, outputs stay finite)
     # and the jitted random init is a huge threefry graph that measured
@@ -173,6 +257,8 @@ def main():
         ips = batch * n_iters / dt
         if ips > best:
             best, best_x, best_batch = ips, x, batch
+            _PARTIAL["value"] = round(best, 3)
+            _PARTIAL["vs_baseline"] = round(best / DEFAULT_BASELINE, 4)
     # One cost_analysis for the winning batch only — lower().compile()
     # does not share the jit executable cache, so doing this inside the
     # sweep paid up to two extra remote compiles.
@@ -188,11 +274,6 @@ def main():
         except Exception:
             pass
 
-    # First honest measurement of this rebuild (v5e, B32, serial forcing)
-    # — the fixed denominator so vs_baseline tracks optimization progress.
-    # (The reference published no throughput numbers; BASELINE.json's
-    # target is empirical speed-of-light.)
-    DEFAULT_BASELINE = 365.254
     vs = best / DEFAULT_BASELINE
     # MFU against the v5e NOMINAL bf16 peak (394 TF/s).  Context (see
     # DESIGN.md §4-5): nominal MFU understates how close the network is
@@ -247,25 +328,23 @@ def main():
         except Exception:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "deeplabv3plus_resnet101_fwd_513_images_per_sec_per_chip",
-                "value": round(best, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(vs, 4),
-                "tflops_per_sec": round(tfs, 1) if tfs == tfs else None,
-                "mfu_nominal": round(tfs / NOMINAL_TFS, 4) if tfs == tfs else None,
-                "mfu_vs_sustained_ceiling": (
-                    round(tfs / sustained_tfs, 4) if tfs == tfs else None
-                ),
-                "sustained_ceiling_tfs": round(sustained_tfs, 1),
-                "ceiling_source": ceiling_source,
-                "int8_images_per_sec": (
-                    round(int8_ips, 3) if int8_ips else None
-                ),
-            }
-        )
+    _emit(
+        {
+            "metric": "deeplabv3plus_resnet101_fwd_513_images_per_sec_per_chip",
+            "value": round(best, 3),
+            "unit": "images/sec",
+            "vs_baseline": round(vs, 4),
+            "tflops_per_sec": round(tfs, 1) if tfs == tfs else None,
+            "mfu_nominal": round(tfs / NOMINAL_TFS, 4) if tfs == tfs else None,
+            "mfu_vs_sustained_ceiling": (
+                round(tfs / sustained_tfs, 4) if tfs == tfs else None
+            ),
+            "sustained_ceiling_tfs": round(sustained_tfs, 1),
+            "ceiling_source": ceiling_source,
+            "int8_images_per_sec": (
+                round(int8_ips, 3) if int8_ips else None
+            ),
+        }
     )
 
 
