@@ -44,6 +44,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # see DESIGN.md §4-5) used only when the probe below fails.
 FALLBACK_SUSTAINED_TFS = 184.0
 
+# Fallback int8 sustained ceiling (measured on this chip: 309 TOP/s on
+# chained 8192^3 s8 x s8 -> s32 matmuls, DESIGN.md §4) for
+# int8_mfu_vs_int8_ceiling when the probe is skipped for budget.
+FALLBACK_INT8_TOPS = 309.0
+
 # First honest measurement of this rebuild (v5e, B32, serial forcing) —
 # the fixed denominator so vs_baseline tracks optimization progress.
 # (The reference published no throughput numbers; BASELINE.json's target
@@ -82,15 +87,42 @@ print(2.0 * n**3 * depth * iters / dt / 1e12)
 """
 
 
-def measure_sustained_ceiling() -> tuple:
-    """(sustained TF/s, source) — measured by the subprocess probe, or
-    the recorded fallback constant if the probe fails.  Keeps
-    mfu_vs_sustained_ceiling honest across a chip/relay change instead
-    of silently mis-scaling against another machine's constant."""
+# Chained s8 x s8 -> s32 matmuls: the int8 analog of _PROBE_SRC.  The
+# inter-step requant (shift back onto the s8 grid) is VPU work that
+# overlaps the next matmul; measured impact is small at 8192^3.
+_INT8_PROBE_SRC = r"""
+import time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+dev = jax.devices()[0]
+n, depth, iters = 8192, 16, 4
+a = jax.device_put(
+    jax.random.randint(jax.random.key(0), (n, n), -127, 128, jnp.int8), dev)
+
+@jax.jit
+def chain(x, shift):
+    x = jnp.clip(x.astype(jnp.int32) + shift, -127, 127).astype(jnp.int8)
+    for _ in range(depth):
+        y = jax.lax.dot(x, a, preferred_element_type=jnp.int32)
+        x = jnp.clip(y >> 13, -127, 127).astype(jnp.int8)
+    return jnp.sum(x.astype(jnp.int32))
+
+float(chain(a, 0))  # compile + warm
+t0 = time.perf_counter()
+res = [chain(a, i + 1) for i in range(iters)]
+float(res[-1])
+dt = time.perf_counter() - t0
+print(2.0 * n**3 * depth * iters / dt / 1e12)
+"""
+
+
+def _run_probe(src_template: str, fallback: float, timeout: float = 300.0):
+    """(TOPS-or-TFS, source) from a subprocess probe, else fallback."""
     import subprocess
 
     try:
-        src = _PROBE_SRC.format(
+        src = src_template.format(
             cache_dir=os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 ".jax_compile_cache",
@@ -98,14 +130,27 @@ def measure_sustained_ceiling() -> tuple:
         )
         out = subprocess.run(
             [sys.executable, "-c", src],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=timeout,
         )
-        tfs = float(out.stdout.strip().splitlines()[-1])
-        if tfs > 10.0:  # plausible for any TPU generation
-            return tfs, "measured"
+        rate = float(out.stdout.strip().splitlines()[-1])
+        if rate > 10.0:  # plausible for any TPU generation
+            return rate, "measured"
     except Exception:
         pass
-    return FALLBACK_SUSTAINED_TFS, "fallback"
+    return fallback, "fallback"
+
+
+def measure_sustained_ceiling() -> tuple:
+    """(sustained TF/s, source) — measured by the subprocess probe, or
+    the recorded fallback constant if the probe fails.  Keeps
+    mfu_vs_sustained_ceiling honest across a chip/relay change instead
+    of silently mis-scaling against another machine's constant."""
+    return _run_probe(_PROBE_SRC, FALLBACK_SUSTAINED_TFS)
+
+
+def measure_int8_ceiling() -> tuple:
+    """(sustained int8 TOP/s, source) — same contract for the s8 path."""
+    return _run_probe(_INT8_PROBE_SRC, FALLBACK_INT8_TOPS)
 
 
 # --- Hard-deadline safety net -------------------------------------------
@@ -176,6 +221,123 @@ def _relay_alive(timeout_s: float) -> bool:
         return False
 
 
+def _measure_train(budget_s: float):
+    """(train img/s, train TF/s, gmmn img/s) at B16 513² bf16 — the two
+    hot train paths, same honest-timing rules as the forward (distinct
+    inputs per call, forced round-trips).  Each field costs one compile;
+    the GMMN step is skipped when under ~150 s of budget remains.
+    Mirrors bench_train.py's methodology so the driver artifact and the
+    secondary bench agree (VERDICT r3 #6)."""
+    import time as _time
+
+    import numpy as np
+    import optax
+
+    from zs3_tpu.core.config import Config, DataConfig, ModelConfig
+    from zs3_tpu.models.deeplab import DeepLab
+    from zs3_tpu.models.gmmn import build_gmmn
+    from zs3_tpu.train.gmmn import (
+        ClsState,
+        GenState,
+        extract_classifier,
+        make_zs3_step,
+    )
+    from zs3_tpu.train.seen import make_train_step
+    from zs3_tpu.train.state import create_seg_state
+    from zs3_tpu.utils.losses import build_seg_loss
+
+    t0 = _time.perf_counter()
+    size, bt = 513, 16
+    cfg = Config(
+        model=ModelConfig(
+            backbone="resnet101", compute_dtype="bfloat16", dropout=False
+        ),
+        data=DataConfig(dataset="synthetic", crop_size=size, batch_size=bt),
+    )
+    model = DeepLab(
+        backbone="resnet101", num_classes=21, dropout=False, dtype=jnp.bfloat16
+    )
+    state = create_seg_state(
+        model, cfg, jax.random.key(0), (1, size, size, 3), total_steps=1000
+    )
+    img = jax.random.normal(jax.random.key(1), (bt, size, size, 3), jnp.float32)
+    lbl = jax.random.randint(jax.random.key(2), (bt, size, size), 0, 21)
+
+    def timed(dispatch, force, iters=8):
+        force(dispatch(0))  # compile + warm
+        t = _time.perf_counter()
+        last = None
+        for i in range(iters):
+            last = dispatch(i + 1)
+        force(last)
+        return (_time.perf_counter() - t) / iters
+
+    train_step = make_train_step(build_seg_loss("ce"), donate=True)
+    holder = {"state": state}
+
+    def d_train(i):
+        holder["state"], out = train_step(
+            holder["state"], {"image": img, "label": lbl}, jax.random.key(3)
+        )
+        return out["loss"]
+
+    dt = timed(d_train, lambda r: float(r))
+    train_ips = bt / dt
+    train_tfs = None
+    try:
+        step_flops = (
+            train_step.lower(
+                holder["state"], {"image": img, "label": lbl}, jax.random.key(3)
+            )
+            .compile()
+            .cost_analysis()["flops"]
+        )
+        train_tfs = step_flops / dt / 1e12
+    except Exception:
+        pass
+
+    gmmn_ips = None
+    if budget_s - (_time.perf_counter() - t0) > 150:
+        try:
+            gen = build_gmmn(cfg.gmmn)
+            gv = gen.init(
+                jax.random.key(4), jnp.zeros((1, 300)), jnp.zeros((1, 300))
+            )
+            trunk = {
+                "params": holder["state"].params,
+                "batch_stats": holder["state"].batch_stats,
+            }
+            zs3_holder = {
+                "g": GenState.create(
+                    apply_fn=gen.apply, params=gv["params"], tx=optax.adam(1e-3)
+                ),
+                "c": ClsState.create(
+                    apply_fn=None,
+                    params=extract_classifier(trunk),
+                    tx=optax.adam(1e-2),
+                ),
+            }
+            emb = jnp.asarray(
+                np.random.default_rng(0).standard_normal((21, 300)), jnp.float32
+            )
+            unseen = jnp.zeros((21,)).at[10].set(1.0).at[14].set(1.0)
+            zs3_step = make_zs3_step(
+                model, gen, cfg, 21, unseen, False, donate=True
+            )
+
+            def d_zs3(i):
+                zs3_holder["g"], zs3_holder["c"], out = zs3_step(
+                    zs3_holder["g"], zs3_holder["c"], trunk, emb,
+                    {"image": img, "label": lbl}, jax.random.key(5),
+                )
+                return out["mmd"]
+
+            gmmn_ips = bt / timed(d_zs3, lambda r: float(r))
+        except Exception:
+            pass
+    return train_ips, train_tfs, gmmn_ips
+
+
 def main():
     from zs3_tpu.models.deeplab import DeepLab
 
@@ -227,41 +389,105 @@ def main():
     best_x = None
     best_batch = 0
     on_tpu = dev.platform != "cpu"
-    # Best-known batch FIRST (B128 is the measured sweet spot): remote
-    # compile time through the relay is weather-dependent (12 s to
-    # minutes for the same program), so on a slow day the deadline cuts
-    # the EXTRA batches, never the headline configuration.
     batches = [128, 64, 32] if on_tpu else [1]
     n_iters = 10 if on_tpu else 2
-    for batch in batches:
-        # reserve ~90 s of the budget for the ceiling probe: an extra
-        # batch point is worth less than a measured denominator
-        if best and time.perf_counter() - t_start > deadline - 90:
-            break  # keep what we have; printing a result beats a timeout
-        x = jax.device_put(
-            jax.random.normal(jax.random.key(1), (batch, size, size, 3), jnp.float32),
-            dev,
-        )
+
+    def elapsed() -> float:
+        return time.perf_counter() - t_start
+
+    def measure_fwd(fn, x, batch):
+        """Compile+warm, then pipelined honest timing.  Dispatch all
+        iterations (each a distinct computation), force only the last:
+        device execution is in-order, so its completion implies all
+        previous completed.  Returns img/s, or None on compile/OOM."""
         try:
-            float(forward(variables, x, 0.0))  # compile + warm
+            float(fn(variables, x, 0.0))  # compile + warm
         except Exception:
-            continue  # OOM at this batch; try smaller
-        # Dispatch all iterations (each a distinct computation), then force
-        # only the last: device execution is in-order, so its completion
-        # implies all previous completed — pipelined but honest timing.
+            return None
         t0 = time.perf_counter()
-        results = [forward(variables, x, 1e-4 * (i + 1)) for i in range(n_iters)]
+        results = [fn(variables, x, 1e-4 * (i + 1)) for i in range(n_iters)]
         float(results[-1])
         dt = time.perf_counter() - t0
         assert all(jnp.isfinite(float(r)) for r in results)
-        ips = batch * n_iters / dt
-        if ips > best:
+        return batch * n_iters / dt
+
+    # ---- 1. headline float forward, best-known batch FIRST (B128 is
+    # the measured sweet spot): remote compile time through the relay is
+    # weather-dependent (12 s to minutes for the same program), so on a
+    # slow day the deadline cuts EXTRA measurements, never the headline.
+    for batch in batches[:1]:
+        x = jax.device_put(
+            jax.random.normal(
+                jax.random.key(1), (batch, size, size, 3), jnp.float32
+            ),
+            dev,
+        )
+        ips = measure_fwd(forward, x, batch)
+        if ips:
             best, best_x, best_batch = ips, x, batch
             _PARTIAL["value"] = round(best, 3)
             _PARTIAL["vs_baseline"] = round(best / DEFAULT_BASELINE, 4)
+
+    # ---- 2. int8 PTQ serving path at the SAME batch, immediately after
+    # the float headline (reuses best_x and the warm device) — round-3
+    # ran this LAST and the deadline ate it (VERDICT r3 #2).  Scale
+    # VALUES are irrelevant to throughput, so default_conv_scales'
+    # constant absmax stands in for calibration.
+    int8_ips = None
+    if on_tpu and best_x is not None and elapsed() < deadline - 60:
+        try:
+            from zs3_tpu import quant
+
+            scales = quant.default_conv_scales(shapes["params"])
+
+            def q_forward_fn(v, x, shift):
+                with quant.quantized(scales):
+                    logits = model.apply(v, x + shift, train=False)
+                return jnp.sum(logits.astype(jnp.float32))
+
+            int8_ips = measure_fwd(jax.jit(q_forward_fn), best_x, best_batch)
+            if int8_ips:
+                _PARTIAL["int8_images_per_sec"] = round(int8_ips, 3)
+        except Exception:
+            pass
+
+    # ---- 3. train-side throughput (VERDICT r3 #6: train numbers had no
+    # driver artifact).  B16 supervised train step + fused GMMN step at
+    # 513², each ~1 compile + ~1 s of steps; deadline-gated per field.
+    train_ips = None
+    train_tfs = None
+    gmmn_ips = None
+    if on_tpu and elapsed() < deadline - 120:
+        try:
+            train_ips, train_tfs, gmmn_ips = _measure_train(
+                deadline - elapsed()
+            )
+            if train_ips:
+                _PARTIAL["train_images_per_sec"] = round(train_ips, 3)
+            if gmmn_ips:
+                _PARTIAL["gmmn_images_per_sec"] = round(gmmn_ips, 3)
+        except Exception:
+            pass
+
+    # ---- 4. extra float batch points (64, 32) — only with headroom.
+    for batch in batches[1:]:
+        if best and elapsed() > deadline - 90:
+            break  # keep what we have; printing a result beats a timeout
+        x = jax.device_put(
+            jax.random.normal(
+                jax.random.key(1), (batch, size, size, 3), jnp.float32
+            ),
+            dev,
+        )
+        ips = measure_fwd(forward, x, batch)
+        if ips and ips > best:
+            best, best_x, best_batch = ips, x, batch
+            _PARTIAL["value"] = round(best, 3)
+            _PARTIAL["vs_baseline"] = round(best / DEFAULT_BASELINE, 4)
+
     # One cost_analysis for the winning batch only — lower().compile()
-    # does not share the jit executable cache, so doing this inside the
-    # sweep paid up to two extra remote compiles.
+    # misses the jit executable cache but hits the PERSISTENT cache, so
+    # this is cheap after the warmup compile above.
     best_flops = float("nan")
     if best_x is not None:
         try:
@@ -282,51 +508,23 @@ def main():
     # mfu_vs_sustained_ceiling reports against a ceiling this run
     # MEASURES on this machine (subprocess probe; constant fallback).
     NOMINAL_TFS = 394.0
-    if on_tpu and time.perf_counter() - t_start < deadline:
+    if on_tpu and elapsed() < deadline:
         sustained_tfs, ceiling_source = measure_sustained_ceiling()
     else:
         sustained_tfs, ceiling_source = FALLBACK_SUSTAINED_TFS, "fallback"
+    if on_tpu and int8_ips and elapsed() < deadline + 60:
+        int8_ceiling_tops, int8_ceiling_source = measure_int8_ceiling()
+    else:
+        int8_ceiling_tops, int8_ceiling_source = FALLBACK_INT8_TOPS, "fallback"
     tfs = best * best_flops / 1e12 if best_flops == best_flops else float("nan")
-
-    # int8 PTQ serving path (zs3_tpu.quant): s8 x s8 MXU convs, ~1.42x
-    # measured on this chip (994 vs 701 img/s at B128).  Scale VALUES
-    # are irrelevant to throughput, so fake absmax=6.0 per conv stands
-    # in for calibration.  One extra remote compile (~95-190 s observed)
-    # — gated on the soft deadline so the headline never times out; the
-    # field is null on slow-compile days.
-    int8_ips = None
-    if (
-        on_tpu
-        and best_x is not None
-        and time.perf_counter() - t_start < deadline - 150
-    ):
-        try:
-            from flax import traverse_util
-
-            from zs3_tpu import quant
-
-            scales = {
-                tuple(k[:-1]): 6.0
-                for k in traverse_util.flatten_dict(shapes["params"])
-                if k[-2:] == ("conv", "kernel") and "classifier" not in k
-            }
-
-            def q_forward_fn(v, x, shift):
-                with quant.quantized(scales):
-                    logits = model.apply(v, x + shift, train=False)
-                return jnp.sum(logits.astype(jnp.float32))
-
-            q_forward = jax.jit(q_forward_fn)
-            float(q_forward(variables, best_x, 0.0))  # compile + warm
-            t0 = time.perf_counter()
-            results = [
-                q_forward(variables, best_x, 1e-4 * (i + 1))
-                for i in range(n_iters)
-            ]
-            float(results[-1])
-            int8_ips = best_batch * n_iters / (time.perf_counter() - t0)
-        except Exception:
-            pass
+    # int8 ops/img == float flops/img (same conv schedule; XLA counts a
+    # MAC as 2 ops regardless of operand dtype), so the float
+    # cost_analysis serves both numerators.
+    int8_tops = (
+        int8_ips * best_flops / 1e12
+        if int8_ips and best_flops == best_flops
+        else None
+    )
 
     _emit(
         {
@@ -341,9 +539,17 @@ def main():
             ),
             "sustained_ceiling_tfs": round(sustained_tfs, 1),
             "ceiling_source": ceiling_source,
-            "int8_images_per_sec": (
-                round(int8_ips, 3) if int8_ips else None
+            "int8_images_per_sec": round(int8_ips, 3) if int8_ips else None,
+            "int8_mfu_vs_int8_ceiling": (
+                round(int8_tops / int8_ceiling_tops, 4) if int8_tops else None
             ),
+            "int8_ceiling_tops": round(int8_ceiling_tops, 1),
+            "int8_ceiling_source": int8_ceiling_source,
+            "train_images_per_sec": round(train_ips, 3) if train_ips else None,
+            "train_mfu_vs_sustained": (
+                round(train_tfs / sustained_tfs, 4) if train_tfs else None
+            ),
+            "gmmn_images_per_sec": round(gmmn_ips, 3) if gmmn_ips else None,
         }
     )
 

@@ -168,15 +168,11 @@ def main():
 
     # --- fused ZS3 step with --int8-features: the frozen-trunk forward
     # runs s8 x s8 on the MXU.  Scale VALUES don't affect throughput,
-    # so fake absmax=6.0 per conv stands in for calibration (same
-    # convention as bench.py's int8 serving probe).
-    from flax import traverse_util
+    # so default_conv_scales' constant absmax stands in for calibration
+    # (one shared eligibility rule with bench.py / __graft_entry__.py).
+    from zs3_tpu import quant
 
-    scales = {
-        tuple(k[:-1]): 6.0
-        for k in traverse_util.flatten_dict(eval_state.params)
-        if k[-2:] == ("conv", "kernel") and "classifier" not in k
-    }
+    scales = quant.default_conv_scales(eval_state.params)
     zs3_q_step = make_zs3_step(
         model, gen, cfg, 21, unseen, False, donate=True, int8_scales=scales
     )

@@ -104,6 +104,29 @@ def test_calibrate_excludes_classifier_and_covers_convs():
     assert back == scales
 
 
+def test_default_conv_scales_matches_calibrate_eligibility():
+    """The synthetic-scales helper (bench.py / __graft_entry__.py /
+    bench_train.py all route through it — VERDICT r3 #8) must select
+    EXACTLY the convs real calibration selects: same exclude substrings,
+    same lane-starvation floor.  Also works on eval_shape structs, the
+    zero-weight path bench.py uses."""
+    _, model, variables, x = _tiny_model()
+    calibrated = quant.calibrate(
+        model.apply, variables, [x], apply_kwargs={"train": False}
+    )
+    synthetic = quant.default_conv_scales(variables["params"])
+    assert set(synthetic) == set(calibrated)
+    assert all(v == 6.0 for v in synthetic.values())
+    assert not any("classifier" in "/".join(p) for p in synthetic)
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 33, 33, 3)),
+                           train=False)
+    )
+    from_shapes = quant.default_conv_scales(shapes["params"])
+    assert set(from_shapes) == set(synthetic)
+
+
 def test_percentile_calibration_clips_outliers():
     """percentile=P calibrates each conv to the P-th percentile of
     |input|: every scale is <= the absmax scale, outlier-carrying convs

@@ -331,6 +331,45 @@ def calibrate_from_batches(
     )
 
 
+def default_conv_scales(
+    params: Dict[str, Any],
+    absmax: float = 6.0,
+    exclude: Sequence[str] = DEFAULT_EXCLUDE,
+) -> Dict[PathKey, float]:
+    """Fake calibration: every quantizable conv path -> constant absmax.
+
+    For throughput benchmarks and compile checks where scale VALUES are
+    irrelevant (bench.py, __graft_entry__.py): walks a param tree (real
+    arrays or eval_shape ShapeDtypeStructs), finds conv kernels at the
+    `.../conv/kernel` position `_ConvImpl` creates, and applies the SAME
+    eligibility rules as the real pipeline — `path_excluded` (substring
+    on the joined path, the rule `quantized()` re-enforces at context
+    entry) and the MIN_QUANT_IN_CH lane-starvation floor, read off the
+    kernel's HWIO input-channel dim.  Grouped convs can't be detected
+    from shapes alone; `_ConvImpl` refuses them at trace time anyway.
+
+    This is THE one source of the exclude rule for synthetic scales: a
+    module rename that breaks the substring match changes the set here,
+    in the bench, and in the dryrun at once (tests/test_quant.py pins
+    the classifier exclusion).
+    """
+    from flax import traverse_util
+
+    leaves = traverse_util.flatten_dict(params)
+    scales: Dict[PathKey, float] = {}
+    for key, leaf in leaves.items():
+        if key[-2:] != ("conv", "kernel"):
+            continue
+        shape = getattr(leaf, "shape", None)
+        if shape is None or len(shape) != 4 or shape[2] < MIN_QUANT_IN_CH:
+            continue
+        path = tuple(key[:-1])
+        if path_excluded(path, exclude):
+            continue
+        scales[path] = float(absmax)
+    return scales
+
+
 def scales_to_json(scales: Dict[PathKey, float]) -> str:
     return json.dumps(
         {"/".join(p): v for p, v in sorted(scales.items())}, indent=1
