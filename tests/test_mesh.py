@@ -50,6 +50,61 @@ def test_shard_and_replicate(mesh8):
     assert rep["w"].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_two_level_dcn_data_mesh_trains():
+    """SURVEY §5: the mesh spec must take a 2-level (dcn, ici) layout
+    without touching call sites.  Batch sharded over BOTH axes
+    (P(('dcn','data'))) — the multi-pod data-parallel layout — must
+    train identically to plain dp: XLA emits the grad all-reduce as a
+    two-level reduction, params stay replicated."""
+    import jax
+
+    from zs3_tpu.core.config import Config, DataConfig, ModelConfig
+    from zs3_tpu.models.deeplab import DeepLab
+    from zs3_tpu.train.seen import make_train_step
+    from zs3_tpu.train.state import create_seg_state
+    from zs3_tpu.utils.losses import build_seg_loss
+
+    mesh2 = make_mesh((("dcn", 2), ("data", 4)))
+    cfg = Config(
+        model=ModelConfig(backbone="resnet50", num_classes=4,
+                          compute_dtype="float32", dropout=False),
+        data=DataConfig(dataset="synthetic", crop_size=33),
+    )
+    model = DeepLab(backbone="resnet50", num_classes=4, dropout=False,
+                    dtype=jnp.float32)
+    state = create_seg_state(
+        model, cfg, jax.random.key(0), (1, 33, 33, 3), total_steps=10
+    )
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "image": rng.standard_normal((8, 33, 33, 3)).astype(np.float32),
+        "label": rng.integers(0, 4, (8, 33, 33)).astype(np.int32),
+    }
+    step = make_train_step(build_seg_loss("ce"), donate=False)
+
+    # two-level sharding
+    state2 = replicate(state, mesh2)
+    batch2 = shard_batch(batch_np, mesh2, axis=("dcn", "data"))
+    new2, out2 = step(state2, batch2, jax.random.key(1))
+
+    # single-device oracle
+    new1, out1 = step(state, batch_np, jax.random.key(1))
+
+    assert np.isfinite(float(out2["loss"]))
+    np.testing.assert_allclose(
+        float(out2["loss"]), float(out1["loss"]), rtol=1e-5
+    )
+    # updated conv params agree up to cross-device reduction-order drift
+    k2 = np.asarray(
+        jax.device_get(new2.params["decoder"]["classifier"]["conv"]["kernel"])
+    )
+    k1 = np.asarray(
+        jax.device_get(new1.params["decoder"]["classifier"]["conv"]["kernel"])
+    )
+    np.testing.assert_allclose(k2, k1, atol=2e-3)
+
+
 def test_make_mesh_subset_and_errors():
     # subsetting to fewer devices than available is allowed
     assert make_mesh((("a", 5),)).shape == {"a": 5}

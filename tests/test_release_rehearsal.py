@@ -89,3 +89,8 @@ def test_release_rehearsal_cli_chain(tmp_path):
         "train-zs5", "evaluate", "evaluate-int8", "qat-finetune+int8",
         "evaluate-gmmn+tta", "export", "serve",
     }
+    # the artifact carries NUMBERS, not just timings (VERDICT r3 #5)
+    assert {"evaluate_miou", "evaluate_int8_miou", "int8_miou_delta",
+            "qat_int8_miou"} <= set(summary["metrics"])
+    assert abs(summary["metrics"]["int8_miou_delta"]) <= 0.25
+    assert any(k.startswith("gmmn_tta_") for k in summary["metrics"])

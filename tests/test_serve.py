@@ -195,5 +195,11 @@ def test_cli_auto_resume_and_profile(tmp_path):
     exp = Saver.latest_experiment(str(tmp_path / "run"), "synthetic",
                                   "deeplab-resnet101")
     assert exp is not None
-    # profile command produces finite timings
+    # profile command produces finite timings, in every mode (fwd and
+    # int8-fwd profile the inference path; int8-fwd must actually lower
+    # s8 convs — it shares quant.default_conv_scales with bench.py)
     assert main(["profile"] + common + ["--steps", "2"]) == 0
+    assert main(["profile"] + common + ["--steps", "2", "--mode", "fwd"]) == 0
+    assert main(
+        ["profile"] + common + ["--steps", "2", "--mode", "int8-fwd"]
+    ) == 0

@@ -224,6 +224,13 @@ def main(argv=None):
             p.add_argument("--trace-dir", type=str, default=None,
                            help="write a jax.profiler XLA trace here "
                                 "(TensorBoard/Perfetto-viewable)")
+            p.add_argument("--mode", default="train",
+                           choices=["train", "fwd", "int8-fwd"],
+                           help="what to profile: the train step, the "
+                                "inference forward, or the int8 PTQ "
+                                "forward (synthetic calibration scales "
+                                "-- throughput-faithful, accuracy-"
+                                "irrelevant)")
         if name == "infer":
             p.add_argument("images", nargs="+", help="image files to segment")
             p.add_argument("--output", type=str, default="predictions")
@@ -411,6 +418,46 @@ def main(argv=None):
 
         trainer = SeenTrainer(cfg)
         batch = trainer._device_batch(next(iter(trainer.train_loader)))
+        if args.mode in ("fwd", "int8-fwd"):
+            # Inference forward (optionally int8) — the headline metric's
+            # shape, now profileable in place (PROFILE_r04 methodology).
+            import jax
+            import jax.numpy as jnp
+
+            from zs3_tpu import quant
+
+            scales = (
+                quant.default_conv_scales(trainer.state.params)
+                if args.mode == "int8-fwd"
+                else None
+            )
+
+            def fwd_fn(variables, images):
+                ctx = (
+                    quant.quantized(scales)
+                    if scales
+                    else contextlib.nullcontext()
+                )
+                with ctx:  # trace-time switch: inside the jit trace
+                    logits = trainer.state.apply_fn(
+                        variables, images, train=False
+                    )
+                return jnp.sum(logits.astype(jnp.float32))
+
+            fwd = jax.jit(fwd_fn)
+            variables = trainer.state.eval_variables()
+
+            def run_once():
+                force(fwd(variables, batch["image"]))
+
+        else:
+
+            def run_once():
+                trainer.state, out = trainer.train_step(
+                    trainer.state, batch, trainer.rng
+                )
+                force(out["loss"])
+
         timer = StepTimer(warmup=1)
         ctx = (
             profiler_trace(args.trace_dir)
@@ -420,12 +467,10 @@ def main(argv=None):
         with ctx:
             for _ in range(max(args.steps, 2)):
                 with timer:
-                    trainer.state, out = trainer.train_step(
-                        trainer.state, batch, trainer.rng
-                    )
-                    force(out["loss"])
+                    run_once()
         bsz = cfg.data.batch_size
         result = {
+            "mode": args.mode,
             "steps": max(args.steps, 2) - 1,
             "mean_step_ms": round(timer.mean * 1000, 2),
             "p50_step_ms": round(timer.p50 * 1000, 2),

@@ -45,8 +45,17 @@ def make_mesh(
     return Mesh(grid, axis_names=tuple(names))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension over a mesh axis."""
+def batch_sharding(mesh: Mesh, axis="data") -> NamedSharding:
+    """Shard the leading (batch) dimension over one or more mesh axes.
+
+    `axis` may be a single name or a tuple of names — passing
+    ``("dcn", "data")`` shards the batch over the product of a slow
+    (cross-host DCN) and a fast (ICI) axis, the standard multi-pod
+    data-parallel layout.  XLA then emits the gradient all-reduce as a
+    two-level reduction (intra-ICI ring, then cross-DCN), nothing else
+    in the train step changes — see tests/test_mesh.py::
+    test_two_level_dcn_data_mesh_trains (SURVEY.md §5 "2-level (ici,
+    dcn) axis spec")."""
     return NamedSharding(mesh, P(axis))
 
 
@@ -54,8 +63,9 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a pytree of host arrays with the batch dim sharded over `axis`."""
+def shard_batch(batch, mesh: Mesh, axis="data"):
+    """Place a pytree of host arrays with the batch dim sharded over
+    `axis` (a mesh-axis name or tuple of names)."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
