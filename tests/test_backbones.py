@@ -14,11 +14,13 @@ from zs3_tpu.models.xception import AlignedXception
 @pytest.mark.parametrize(
     "module,kw,high_ch,low_ch,low_os",
     [
-        # heavy non-resnet compiles move to the slow tier; mobilenet
-        # stays as the quick-tier non-resnet representative
+        # heavy non-resnet compiles live in the slow tier (measured
+        # 22-35 s each on the 1-core driver box); quick-tier mobilenet
+        # coverage comes from test_mobilenet_dilation_rewrite (~8 s)
         pytest.param(AlignedXception, {"output_stride": 16}, 2048, 128, 4,
                      marks=pytest.mark.slow),
-        (MobileNetV2Backbone, {"output_stride": 16}, 320, 24, 4),
+        pytest.param(MobileNetV2Backbone, {"output_stride": 16}, 320, 24, 4,
+                     marks=pytest.mark.slow),
         pytest.param(DRN54, {}, 512, 256, 4, marks=pytest.mark.slow),
     ],
 )
@@ -34,6 +36,7 @@ def test_backbone_shapes(module, kw, high_ch, low_ch, low_os):
     assert high.shape[1] == (65 - 1) // os_high + 1
 
 
+@pytest.mark.slow
 def test_xception_os8_spatial():
     m = AlignedXception(output_stride=8)
     x = jnp.zeros((1, 65, 65, 3))
@@ -44,7 +47,7 @@ def test_xception_os8_spatial():
 
 @pytest.mark.parametrize("backbone", [
     pytest.param("xception", marks=pytest.mark.slow),
-    "mobilenet",
+    pytest.param("mobilenet", marks=pytest.mark.slow),
     pytest.param("drn", marks=pytest.mark.slow),
 ])
 def test_deeplab_assembly(backbone):

@@ -31,9 +31,13 @@ def _cfg(tmp_path, **model_kw):
     )
 
 
+@pytest.mark.slow
 def test_export_roundtrip_matches_live_model(tmp_path):
     """serialize -> deserialize -> call must equal the in-process fn,
-    with no zs3_tpu model code in the load path."""
+    with no zs3_tpu model code in the load path.  Slow tier: the
+    serialize + deserialize + live-oracle chain costs ~60 s on the
+    1-core driver box; the quick tier keeps the export surface's
+    cheap contract tests."""
     cfg = _cfg(tmp_path)
     blob, manifest = export_predictor(cfg, batch_size=2, allow_random=True)
     path = str(tmp_path / "model.shlo")

@@ -391,10 +391,13 @@ def test_fake_quant_conv_matches_deployed_int8_conv():
     )
 
 
+@pytest.mark.slow
 def test_qat_train_step_fake_quantizes_and_trains(tmp_path):
     """TrainConfig.qat=True: the compiled train step carries the
     fake-quant roundings (absent from the float step) and still trains
-    to a finite loss with moving parameters."""
+    to a finite loss with moving parameters.  Slow tier: lowering two
+    resnet50 train steps to text costs ~100 s on the 1-core driver box;
+    test_qat_tiny_model_quick pins the same contract cheaply."""
     from zs3_tpu.core.config import TrainConfig
     from zs3_tpu.train.seen import SeenTrainer, make_train_step
 
@@ -433,5 +436,70 @@ def test_qat_train_step_fake_quantizes_and_trains(tmp_path):
     moved = jax.tree.map(
         lambda a, b: not np.array_equal(a, jax.device_get(b)),
         params_before, trainer.state.params,
+    )
+    assert any(jax.tree.leaves(moved))
+
+
+def test_qat_tiny_model_quick(tmp_path):
+    """Quick-tier QAT contract on a 2-conv toy model: make_train_step's
+    qat=True trace-time switch makes every eligible conv emit fake-quant
+    roundings (the float step has none), and the step still trains to a
+    finite loss with moving params.  Same mechanism the resnet50
+    SeenTrainer integration test (slow tier) exercises at full scale."""
+    import flax.linen as nn
+
+    from zs3_tpu.models.layers import Conv
+    from zs3_tpu.train.seen import make_train_step
+    from zs3_tpu.train.state import create_seg_state
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, deterministic=True):
+            x = nn.relu(Conv(16, kernel_size=3, padding=1, name="c1")(x))
+            return Conv(4, kernel_size=1, name="head")(x)
+
+    cfg = Config(
+        model=ModelConfig(backbone="resnet50", num_classes=4,
+                          compute_dtype="float32", dropout=False),
+        data=DataConfig(dataset="synthetic", crop_size=9, base_size=9,
+                        batch_size=2, eval_batch_size=2),
+    )
+    # input channels = MIN_QUANT_IN_CH so both convs are PTQ/QAT-eligible
+    state = create_seg_state(
+        Toy(), cfg, jax.random.key(0), (2, 9, 9, quant.MIN_QUANT_IN_CH),
+        total_steps=4,
+    )
+
+    def loss_fn(logits, labels):
+        return jnp.mean((logits - jax.nn.one_hot(labels, 4)) ** 2)
+
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).normal(
+                size=(2, 9, 9, quant.MIN_QUANT_IN_CH)
+            ).astype(np.float32)
+        ),
+        "label": jnp.asarray(
+            np.random.default_rng(1).integers(0, 4, (2, 9, 9)), jnp.int32
+        ),
+    }
+    rng = jax.random.key(1)
+
+    qat_step = make_train_step(loss_fn, donate=False, qat=True)
+    float_step = make_train_step(loss_fn, donate=False)
+    n_qat = qat_step.lower(state, batch, rng).as_text().count(
+        "round_nearest_even"
+    )
+    n_float = float_step.lower(state, batch, rng).as_text().count(
+        "round_nearest_even"
+    )
+    # two roundings (input + kernel) per eligible conv, two convs
+    assert n_float == 0 and n_qat >= 4, (n_qat, n_float)
+
+    new_state, stats = qat_step(state, batch, rng)
+    assert np.isfinite(float(stats["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        state.params, new_state.params,
     )
     assert any(jax.tree.leaves(moved))
