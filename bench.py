@@ -480,8 +480,15 @@ def main():
     # ran this LAST and the deadline ate it (VERDICT r3 #2).  Scale
     # VALUES are irrelevant to throughput, so default_conv_scales'
     # constant absmax stands in for calibration.
+    # Gates below key off the WATCHDOG hard deadline, not the soft
+    # `deadline`: the watchdog guarantees a partial record, so on a
+    # bad-weather day (r4: one relay stall ate 444 s of the 420 s soft
+    # budget and left int8/train null) attempting more can only ADD
+    # fields, never lose the run.  The int8/train programs are in the
+    # persistent compile cache, so good-case cost is seconds.
+    hard = float(os.environ.get("BENCH_HARD_DEADLINE_S", "535"))
     int8_ips = None
-    if on_tpu and best_x is not None and elapsed() < deadline - 60:
+    if on_tpu and best_x is not None and elapsed() < hard - 50:
         try:
             from zs3_tpu import quant
 
@@ -506,11 +513,11 @@ def main():
     train_ips = None
     train_tfs = None
     gmmn_ips = None
-    if on_tpu and elapsed() < deadline - 120:
+    if on_tpu and elapsed() < hard - 90:
         try:
             _note("train/gmmn steps: compile+measure")
             train_ips, train_tfs, gmmn_ips = _measure_train(
-                deadline - elapsed()
+                hard - 30.0 - elapsed()
             )
             _note(f"train {train_ips and round(train_ips, 1)} img/s, "
                   f"gmmn {gmmn_ips and round(gmmn_ips, 1)} img/s")
@@ -563,21 +570,20 @@ def main():
     NOMINAL_TFS = 394.0
     # Probe budgets are carved from what remains before the WATCHDOG
     # (not the soft deadline): a stalled probe subprocess must die in
-    # time for the final record to print.  Cached-ceiling hits skip the
-    # subprocess entirely.
-    hard = float(os.environ.get("BENCH_HARD_DEADLINE_S", "535"))
-
+    # time for the final record to print.  _run_probe checks the
+    # on-disk measured-ceiling cache BEFORE its budget gate, so these
+    # calls are made unconditionally on TPU: past-deadline they still
+    # return the cached measurement (r4: a 444 s relay stall skipped
+    # both probes and the artifact mis-reported "fallback" with a warm
+    # cache on disk).
     def probe_budget(reserve: float) -> float:
         return min(300.0, hard - 30.0 - elapsed() - reserve)
 
-    if on_tpu and elapsed() < deadline:
+    if on_tpu:
         _note("ceiling probe (bf16)")
         sustained_tfs, ceiling_source = measure_sustained_ceiling(
             probe_budget(reserve=60.0)  # leave room for the int8 probe
         )
-    else:
-        sustained_tfs, ceiling_source = FALLBACK_SUSTAINED_TFS, "fallback"
-    if on_tpu and int8_ips and elapsed() < deadline + 60:
         _note("ceiling probe (int8)")
         int8_ceiling_tops, int8_ceiling_source = measure_int8_ceiling(
             probe_budget(reserve=0.0)
@@ -585,6 +591,7 @@ def main():
         _note(f"ceilings: bf16 {sustained_tfs} ({ceiling_source}), "
               f"int8 {int8_ceiling_tops} ({int8_ceiling_source})")
     else:
+        sustained_tfs, ceiling_source = FALLBACK_SUSTAINED_TFS, "fallback"
         int8_ceiling_tops, int8_ceiling_source = FALLBACK_INT8_TOPS, "fallback"
     tfs = best * best_flops / 1e12 if best_flops == best_flops else float("nan")
     # int8 ops/img == float flops/img (same conv schedule; XLA counts a

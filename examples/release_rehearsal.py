@@ -104,6 +104,12 @@ def rehearse(
             "float32" if jax.default_backend() == "cpu" else "bfloat16"
         )
     os.makedirs(workdir, exist_ok=True)
+    # One persistent XLA compilation cache across all CLI stages: repeat
+    # rehearsals (and stages that re-jit the same shapes) skip compiles.
+    cache_dir = os.path.join(workdir, "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     data_root = os.path.join(workdir, "data")
     run_dir = os.path.join(workdir, "run")
     timings: dict = {}

@@ -33,6 +33,12 @@ from zs3_tpu.core.config import (
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--config", type=str, default=None, help="JSON config file")
+    p.add_argument("--compilation-cache", type=str, metavar="DIR",
+                   default=os.environ.get("ZS3_COMPILATION_CACHE"),
+                   help="persistent XLA compilation cache directory "
+                        "(default: $ZS3_COMPILATION_CACHE); restarts and "
+                        "repeated CLI stages skip recompiles of unchanged "
+                        "programs")
     p.add_argument("--dataset", choices=["pascal", "context", "synthetic"])
     p.add_argument("--data-root", type=str)
     p.add_argument("--use-sbd", action="store_true", default=None)
@@ -291,6 +297,12 @@ def main(argv=None):
             p.add_argument("--force", action="store_true",
                            help="replace an existing --output checkpoint")
     args = parser.parse_args(argv)
+    if getattr(args, "compilation_cache", None):
+        import jax
+
+        os.makedirs(args.compilation_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = build_config(args)
     if getattr(args, "int8_percentile", None) is not None:
         cfg = cfg.replace(
