@@ -269,6 +269,7 @@ def rehearse(
         "backbone": backbone,
         "crop_size": crop_size,
         "batch_size": batch_size,
+        "steps_per_stage": steps,
         "backend": __import__("jax").default_backend(),
         "voc": voc_stats,
         "artifact_platforms": manifest["platforms"],
