@@ -121,6 +121,12 @@ _CEILING_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_ceilings.json"
 )
 
+# Single source of truth for the watchdog hard deadline: the int8/train
+# gates and probe budgets in main() key off the SAME value the watchdog
+# timer fires at, so changing one cannot silently desynchronize the
+# others (they previously duplicated the "535" literal).
+HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE_S", "535"))
+
 
 def _device_kind() -> str:
     try:
@@ -129,22 +135,50 @@ def _device_kind() -> str:
         return "unknown"
 
 
+def _machine_id() -> str:
+    """Stable per-install identity for the ceiling cache key.  Keying by
+    device_kind alone let any other 'TPU v5 lite' host silently reuse
+    this relay's attenuated ceiling as 'measured_cached'; machine-id
+    scopes the cache to the host+relay that measured it."""
+    try:
+        with open("/etc/machine-id") as f:
+            return f.read().strip()[:12]
+    except Exception:
+        import socket
+
+        return socket.gethostname()
+
+
+def _cache_key(key: str) -> str:
+    return f"{key}:{_device_kind()}:{_machine_id()}"
+
+
 def _cached_ceiling(key: str):
+    """Cache entry dict {"rate": float, "headline_ips": float|None} or
+    None.  Old-format bare-float entries are wrapped (unstamped)."""
     try:
         with open(_CEILING_CACHE) as f:
-            return json.load(f).get(f"{key}:{_device_kind()}")
+            hit = json.load(f).get(_cache_key(key))
     except Exception:
         return None
+    if hit is None:
+        return None
+    if isinstance(hit, dict):
+        return hit
+    return {"rate": float(hit), "headline_ips": None}
 
 
-def _store_ceiling(key: str, rate: float) -> None:
+def _store_ceiling(key: str, rate: float, headline_ips=None) -> None:
     try:
         try:
             with open(_CEILING_CACHE) as f:
                 d = json.load(f)
         except Exception:
             d = {}
-        d[f"{key}:{_device_kind()}"] = rate
+        d[_cache_key(key)] = {
+            "rate": rate,
+            "headline_ips": round(headline_ips, 3) if headline_ips else None,
+        }
         with open(_CEILING_CACHE, "w") as f:
             json.dump(d, f)
     except Exception:
@@ -152,22 +186,44 @@ def _store_ceiling(key: str, rate: float) -> None:
 
 
 def _run_probe(src_template: str, fallback: float, key: str,
-               timeout: float = 300.0):
+               timeout: float = 300.0, headline=None):
     """(TOPS-or-TFS, source) from a subprocess probe, else fallback.
 
     The ceiling is a physical property of the attached chip, so a
-    successful measurement is cached on disk keyed by device_kind and
-    reused (source "measured_cached") — each probe subprocess costs a
-    full jax-through-relay re-init (60-90 s good weather, unbounded on
-    a wedged relay; the r4 watchdog fired inside these probes).  Set
-    BENCH_REMEASURE_CEILING=1 to force a fresh probe."""
+    successful measurement is cached on disk keyed by
+    (kind, device_kind, machine-id) and reused (source
+    "measured_cached") — each probe subprocess costs a full
+    jax-through-relay re-init (60-90 s good weather, unbounded on a
+    wedged relay; the r4 watchdog fired inside these probes).
+
+    Staleness guard: each cache entry is stamped with the headline
+    img/s of the run that produced (or first used) it.  If this run's
+    headline drifts >10% from the stamp, the chip/relay attachment has
+    materially changed, so the cache is bypassed and the ceiling
+    re-probed; if that re-probe fails the cached value is still
+    returned but labeled "measured_cached_drift" so the artifact says
+    so.  Set BENCH_REMEASURE_CEILING=1 to force a fresh probe."""
     import subprocess
 
+    entry = None
     if not os.environ.get("BENCH_REMEASURE_CEILING"):
-        hit = _cached_ceiling(key)
-        if hit:
-            return hit, "measured_cached"
+        entry = _cached_ceiling(key)
+        if entry:
+            stamp = entry.get("headline_ips")
+            drift = (
+                headline is not None
+                and stamp
+                and abs(headline / stamp - 1.0) > 0.10
+            )
+            if not drift:
+                if stamp is None and headline:
+                    # migrate an unstamped (old-format) entry once so
+                    # future runs can judge drift; no re-measure needed
+                    _store_ceiling(key, entry["rate"], headline)
+                return entry["rate"], "measured_cached"
     if timeout < 30.0:
+        if entry:
+            return entry["rate"], "measured_cached_drift"
         return fallback, "fallback"
     try:
         src = src_template.format(
@@ -182,24 +238,30 @@ def _run_probe(src_template: str, fallback: float, key: str,
         )
         rate = float(out.stdout.strip().splitlines()[-1])
         if rate > 10.0:  # plausible for any TPU generation
-            _store_ceiling(key, rate)
+            _store_ceiling(key, rate, headline)
             return rate, "measured"
     except Exception:
         pass
+    if entry:
+        return entry["rate"], "measured_cached_drift"
     return fallback, "fallback"
 
 
-def measure_sustained_ceiling(timeout: float = 300.0) -> tuple:
+def measure_sustained_ceiling(timeout: float = 300.0, headline=None) -> tuple:
     """(sustained TF/s, source) — measured by the subprocess probe, or
     the recorded fallback constant if the probe fails.  Keeps
     mfu_vs_sustained_ceiling honest across a chip/relay change instead
     of silently mis-scaling against another machine's constant."""
-    return _run_probe(_PROBE_SRC, FALLBACK_SUSTAINED_TFS, "bf16", timeout)
+    return _run_probe(
+        _PROBE_SRC, FALLBACK_SUSTAINED_TFS, "bf16", timeout, headline
+    )
 
 
-def measure_int8_ceiling(timeout: float = 300.0) -> tuple:
+def measure_int8_ceiling(timeout: float = 300.0, headline=None) -> tuple:
     """(sustained int8 TOP/s, source) — same contract for the s8 path."""
-    return _run_probe(_INT8_PROBE_SRC, FALLBACK_INT8_TOPS, "int8", timeout)
+    return _run_probe(
+        _INT8_PROBE_SRC, FALLBACK_INT8_TOPS, "int8", timeout, headline
+    )
 
 
 # --- Hard-deadline safety net -------------------------------------------
@@ -250,7 +312,7 @@ def _start_watchdog() -> None:
     # Default sits UNDER the driver's observed ~570 s outer timeout:
     # an emitted degraded record beats rc=124 with no output (which is
     # exactly what a 1800 s default produced on a slow-relay day).
-    hard = float(os.environ.get("BENCH_HARD_DEADLINE_S", "535"))
+    hard = HARD_DEADLINE_S
 
     def fire():
         rec = dict(_PARTIAL)
@@ -259,7 +321,11 @@ def _start_watchdog() -> None:
             "value is the best measurement completed before the stall"
         )
         if _emit(rec):
-            os._exit(0)  # main thread may be stuck in a C-level RPC
+            # rc distinguishes outcomes for drivers that only check the
+            # exit status: 0 = degraded-but-measured record, 3 = the
+            # stall hit before ANY real measurement (value still 0.0) —
+            # a fully-failed run must not read as success.
+            os._exit(0 if rec["value"] else 3)
 
     t = threading.Timer(hard, fire)
     t.daemon = True
@@ -267,12 +333,15 @@ def _start_watchdog() -> None:
 
 
 def _measure_train(budget_s: float):
-    """(train img/s, train TF/s, gmmn img/s) at B16 513² bf16 — the two
-    hot train paths, same honest-timing rules as the forward (distinct
-    inputs per call, forced round-trips).  Each field costs one compile;
-    the GMMN step is skipped when under ~150 s of budget remains.
-    Mirrors bench_train.py's methodology so the driver artifact and the
-    secondary bench agree (VERDICT r3 #6)."""
+    """(train img/s, train TF/s, gmmn img/s, gmmn TF/s) at B16 513²
+    bf16 — the two hot train paths, same honest-timing rules as the
+    forward (distinct inputs per call, forced round-trips).  Each field
+    costs one compile; the GMMN step is skipped when under ~150 s of
+    budget remains.  Mirrors bench_train.py's methodology so the driver
+    artifact and the secondary bench agree (VERDICT r3 #6).  The gmmn
+    TF/s numerator comes from the fused step's own cost_analysis so
+    gmmn_mfu_vs_sustained has the same defined denominator as the train
+    field (VERDICT r4 weak #4)."""
     import time as _time
 
     import numpy as np
@@ -342,6 +411,7 @@ def _measure_train(budget_s: float):
         pass
 
     gmmn_ips = None
+    gmmn_tfs = None
     if budget_s - (_time.perf_counter() - t0) > 150:
         try:
             gen = build_gmmn(cfg.gmmn)
@@ -377,10 +447,23 @@ def _measure_train(budget_s: float):
                 )
                 return out["mmd"]
 
-            gmmn_ips = bt / timed(d_zs3, lambda r: float(r))
+            gmmn_dt = timed(d_zs3, lambda r: float(r))
+            gmmn_ips = bt / gmmn_dt
+            try:
+                zs3_flops = (
+                    zs3_step.lower(
+                        zs3_holder["g"], zs3_holder["c"], trunk, emb,
+                        {"image": img, "label": lbl}, jax.random.key(5),
+                    )
+                    .compile()
+                    .cost_analysis()["flops"]
+                )
+                gmmn_tfs = zs3_flops / gmmn_dt / 1e12
+            except Exception:
+                pass
         except Exception:
             pass
-    return train_ips, train_tfs, gmmn_ips
+    return train_ips, train_tfs, gmmn_ips, gmmn_tfs
 
 
 def main():
@@ -486,7 +569,7 @@ def main():
     # budget and left int8/train null) attempting more can only ADD
     # fields, never lose the run.  The int8/train programs are in the
     # persistent compile cache, so good-case cost is seconds.
-    hard = float(os.environ.get("BENCH_HARD_DEADLINE_S", "535"))
+    hard = HARD_DEADLINE_S
     int8_ips = None
     if on_tpu and best_x is not None and elapsed() < hard - 50:
         try:
@@ -513,10 +596,11 @@ def main():
     train_ips = None
     train_tfs = None
     gmmn_ips = None
+    gmmn_tfs = None
     if on_tpu and elapsed() < hard - 90:
         try:
             _note("train/gmmn steps: compile+measure")
-            train_ips, train_tfs, gmmn_ips = _measure_train(
+            train_ips, train_tfs, gmmn_ips, gmmn_tfs = _measure_train(
                 hard - 30.0 - elapsed()
             )
             _note(f"train {train_ips and round(train_ips, 1)} img/s, "
@@ -580,13 +664,18 @@ def main():
         return min(300.0, hard - 30.0 - elapsed() - reserve)
 
     if on_tpu:
+        # headline img/s is the staleness stamp: a >10% drift vs the
+        # stamp on the cached entry triggers a fresh probe (chip/relay
+        # attachment changed), instead of silently reusing a ceiling
+        # another attachment measured.
         _note("ceiling probe (bf16)")
         sustained_tfs, ceiling_source = measure_sustained_ceiling(
-            probe_budget(reserve=60.0)  # leave room for the int8 probe
+            probe_budget(reserve=60.0),  # leave room for the int8 probe
+            headline=best or None,
         )
         _note("ceiling probe (int8)")
         int8_ceiling_tops, int8_ceiling_source = measure_int8_ceiling(
-            probe_budget(reserve=0.0)
+            probe_budget(reserve=0.0), headline=int8_ips
         )
         _note(f"ceilings: bf16 {sustained_tfs} ({ceiling_source}), "
               f"int8 {int8_ceiling_tops} ({int8_ceiling_source})")
@@ -627,6 +716,9 @@ def main():
                 round(train_tfs / sustained_tfs, 4) if train_tfs else None
             ),
             "gmmn_images_per_sec": round(gmmn_ips, 3) if gmmn_ips else None,
+            "gmmn_mfu_vs_sustained": (
+                round(gmmn_tfs / sustained_tfs, 4) if gmmn_tfs else None
+            ),
         }
     )
 

@@ -72,6 +72,39 @@ def test_deeplab_assembly(backbone):
     )
 
 
+def test_backbone_and_assembly_smoke_quick():
+    """Quick-tier representative for the backbone feature-shape and
+    full-assembly contracts (ADVICE r4: after the 65² cases moved to
+    the slow tier, neither contract had direct quick coverage).  One
+    cheap backbone (mobilenet) at a reduced 33² input: high/low stream
+    shapes, logits at input resolution, 256-d split-head features.
+    Everything runs under jit so the warm quick tier loads these
+    programs from the persistent compile cache instead of re-dispatching
+    hundreds of eager convs (measured 22.6 s eager vs 7.5 s jitted-warm
+    on the 1-core box)."""
+    m = MobileNetV2Backbone(output_stride=16)
+    x = jnp.zeros((1, 33, 33, 3))
+    high, low = jax.jit(
+        lambda: m.apply(m.init(jax.random.key(0), x), x)
+    )()
+    assert high.shape[-1] == 320 and high.shape[1] == (33 - 1) // 16 + 1
+    assert low.shape[-1] == 24 and low.shape[1] == 33 // 4 + 1
+
+    dl = DeepLab(backbone="mobilenet", num_classes=5, dropout=False)
+
+    @jax.jit
+    def assemble():
+        variables = dl.init(jax.random.key(0), x)
+        return (
+            dl.apply(variables, x),
+            dl.apply(variables, x, method="forward_features"),
+        )
+
+    logits, feats = assemble()
+    assert logits.shape == (1, 33, 33, 5)
+    assert feats.shape[-1] == 256
+
+
 def test_mobilenet_dilation_rewrite():
     """os8 must keep spatial resolution from stage 3 onward."""
     m8 = MobileNetV2Backbone(output_stride=8)
