@@ -87,10 +87,16 @@ def test_release_rehearsal_cli_chain(tmp_path):
     assert set(summary["stage_seconds"]) == {
         "fabricate", "convert-weights", "train-seen", "train-gmmn",
         "train-zs5", "evaluate", "evaluate-int8", "qat-finetune+int8",
-        "evaluate-gmmn+tta", "export", "serve",
+        "evaluate-gmmn+tta", "zero-shot-synthetic", "export", "serve",
     }
     # the artifact carries NUMBERS, not just timings (VERDICT r3 #5)
     assert {"evaluate_miou", "evaluate_int8_miou", "int8_miou_delta",
             "qat_int8_miou"} <= set(summary["metrics"])
-    assert abs(summary["metrics"]["int8_miou_delta"]) <= 0.25
+    assert abs(summary["metrics"]["int8_miou_delta"]) <= 0.05
     assert any(k.startswith("gmmn_tta_") for k in summary["metrics"])
+    # zero-shot chain plumbing runs on CPU in smoke mode (no bars; the
+    # full-depth barred run is the TPU rehearsal artifact)
+    assert summary["zero_shot_mode"] == "smoke"
+    assert {"synthetic_seen_miou", "synthetic_zs3_unseen_miou",
+            "synthetic_zs3_harmonic_miou",
+            "synthetic_zs5_unseen_miou"} <= set(summary["metrics"])
