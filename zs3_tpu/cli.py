@@ -78,6 +78,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="number of unseen classes (paper protocol)")
     p.add_argument("--embedding-path", type=str)
     p.add_argument("--compute-dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--fused-tail", action="store_true", default=None,
+                   help="fused Pallas classify+resize inference tail "
+                        "(TPU, exact-4x geometry; see DESIGN.md §4)")
     p.add_argument("--graph-context", action="store_true", default=None)
     p.add_argument("--pixels-per-class", type=int)
     p.add_argument("--eval-scales", type=str,
@@ -126,6 +129,7 @@ def build_config(args: argparse.Namespace) -> Config:
             backbone=args.backbone,
             output_stride=args.out_stride,
             compute_dtype=args.compute_dtype,
+            fused_tail=args.fused_tail,
         ),
         gmmn=upd(
             cfg.gmmn,

@@ -35,6 +35,10 @@ class ModelConfig:
     dropout: bool = True
     # Rematerialize backbone blocks (large-batch training at 513^2).
     remat: bool = False
+    # Fused Pallas classify+resize inference tail (ops/pallas_tail.py);
+    # engages on TPU at eval for exact-4x geometry, no-op elsewhere.
+    # Measured negative result, kept flag-off (DESIGN.md §4 sixth fix).
+    fused_tail: bool = False
 
 
 @dataclass(frozen=True)

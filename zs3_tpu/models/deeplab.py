@@ -66,6 +66,15 @@ class DeepLab(nn.Module):
     dropout: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    # Fused Pallas classify+resize tail (ops/pallas_tail.py): a
+    # MEASURED NEGATIVE RESULT kept flag-off as evidence (585.5 vs
+    # 701.5 img/s at B128 — the padded NHWC logits write plus the
+    # layout-pin ripple cost more than the classifier layout tax it
+    # removes; DESIGN.md §4 "sixth fix").  Engages only at eval
+    # (`train=False`) on exact-4× geometry; elsewhere (and on non-TPU
+    # backends, via the op's own dispatch) the standard tail runs.
+    # No VJP: training always takes the XLA tail.
+    fused_tail: bool = False
 
     def setup(self):
         bn_kw = dict(
@@ -124,6 +133,21 @@ class DeepLab(nn.Module):
     ) -> jax.Array:
         size = x.shape[1:3]
         feats = self.forward_features(x, train=train, deterministic=deterministic)
+        if (
+            self.fused_tail
+            and not train
+            and not self.is_initializing()
+        ):
+            from zs3_tpu.ops import pallas_tail
+
+            if pallas_tail.supported(
+                feats.shape[1:3], size, self.num_classes
+            ):
+                cparams = self.decoder.classifier.variables["params"]["conv"]
+                logits = pallas_tail.classify_resize(
+                    feats, cparams["kernel"][0, 0], cparams["bias"], size
+                )
+                return logits.astype(jnp.float32)
         logits = self.classify(feats)
         # Upsample in the compute dtype (bf16 models stay on the fast MXU
         # path; f32 models keep full-precision parity), output f32.
@@ -143,4 +167,5 @@ def build_deeplab(cfg: ModelConfig) -> DeepLab:
         dropout=cfg.dropout,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        fused_tail=cfg.fused_tail,
     )
