@@ -51,6 +51,18 @@ if _TEST_PLATFORM == "cpu":
     assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
+# Cyclic-GC tuning: one pytest process holds every compiled executable,
+# tracer cache and fixture object for 200+ tests, so CPython's default
+# gen-2 collections end up scanning hundreds of thousands of live
+# objects more and more often as the suite proceeds — measured on the
+# 1-core driver box as late tests running 3-4x their isolated time
+# (test_gmmn_trainer_end_to_end: 63 s in-suite vs 17 s alone).  Raising
+# the gen-0 threshold and gen-2 multiplier keeps collections rare while
+# still bounding leak growth; RAM is plentiful (the suite peaks <4 GB).
+import gc  # noqa: E402
+
+gc.set_threshold(50_000, 50, 100)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
