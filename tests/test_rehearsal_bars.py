@@ -25,7 +25,7 @@ GOOD = {
     "evaluate_miou": 0.0340,
     "evaluate_int8_miou": 0.0347,
     "int8_miou_delta": -0.0007,
-    "qat_int8_miou": 0.0006,
+    "qat_int8_miou": 0.0229,  # 0.1x-LR QAT keeps the trained level (full LR collapsed to 0.0006)
     "gmmn_tta_miou": 6.2e-07,
     "gmmn_tta_seen_miou": 7.0e-07,
     "gmmn_tta_unseen_miou": 0.0,  # structural on the fabricated tree
@@ -48,6 +48,16 @@ def test_lr0_noop_trainer_fails_seen_floor():
     # stats move).  The floor (0.015) must catch it.
     broken = dict(GOOD, evaluate_miou=0.0067, int8_miou_delta=0.0001)
     with pytest.raises(AssertionError, match="learned nothing"):
+        assert_rehearsal_bars(broken, **TPU)
+
+
+def test_qat_collapse_fails():
+    # Measured r5: the QAT stage at the FULL base LR (two fresh-momentum
+    # steps) damaged the trained weights, 0.034 -> 0.0006 through the
+    # int8 protocol; the rehearsal now fine-tunes at 0.1x LR and this
+    # bar catches the regression mode.
+    broken = dict(GOOD, qat_int8_miou=0.0006)
+    with pytest.raises(AssertionError, match="QAT fine-tune damaged"):
         assert_rehearsal_bars(broken, **TPU)
 
 
